@@ -1,0 +1,281 @@
+"""RRTMG-SW two-stream spectral solver (spcvmc/reftra/vrtqdr).
+
+Re-derivation of rrtmg_sw_spcvmc.F90:30-1590: PIFM two-stream layer
+reflectance/transmittance (reftra_sw, kmodts=2), vertical adding
+(vrtqdr_sw) as two lax.scans (composite-from-surface and
+composite-from-TOA), run once with clear-sky optics and once with McICA
+cloud optics added, then spectral/band flux aggregation.
+
+All arrays TOA-first: layer k spans levels k (top) and k+1 (bottom).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .tables_sw import NG_SW
+
+_NGB14 = np.repeat(np.arange(1, 15), NG_SW)    # g-point -> ibm (1..14)
+_OD_LO = 0.06
+_EPS = 1.0e-8
+_ZSR3 = np.sqrt(3.0)
+_ZWCRIT = 0.9999995
+
+
+def reftra_sw(tau, w, g, mu0):
+    """PIFM two-stream R/T of homogeneous layers (reftra_sw, kmodts=2).
+
+    tau/w/g: [..., nlay, ngpt]; mu0: [...] broadcastable.
+    Returns (ref, tra, refd, trad) same shape as tau.
+    """
+    mu0 = mu0[..., None, None]
+    zg3 = 3.0 * g
+    gamma1 = (8.0 - w * (5.0 + zg3)) * 0.25
+    gamma2 = 3.0 * (w * (1.0 - g)) * 0.25
+    gamma3 = (2.0 - zg3 * mu0) * 0.25
+    gamma4 = 1.0 - gamma3
+
+    # original (pre-delta) ssa to detect conservative scattering; guard the
+    # catastrophic denominator the reference patches with real*8
+    # (spcvmc.F90:1240-1262)
+    den = 1.0 - (1.0 - w) * (g / (1.0 - g)) ** 2
+    den = jnp.where(jnp.abs(den) < 1e-12,
+                    jnp.where(den < 0, -1e-12, 1e-12), den)
+    zwo = w / den
+    conservative = zwo >= _ZWCRIT
+
+    # ---- conservative branch ----
+    za = gamma1 * mu0
+    za1c = za - gamma3
+    zgt = gamma1 * tau
+    ze1c = jnp.minimum(tau / mu0, 500.0)
+    ze2c = jnp.exp(-ze1c)
+    ref_c = (zgt - za1c * (1.0 - ze2c)) / (1.0 + zgt)
+    tra_c = 1.0 - ref_c
+    refd_c = zgt / (1.0 + zgt)
+    trad_c = 1.0 - refd_c
+    thin = ze2c == 1.0
+    ref_c = jnp.where(thin, 0.0, ref_c)
+    tra_c = jnp.where(thin, 1.0, tra_c)
+    refd_c = jnp.where(thin, 0.0, refd_c)
+    trad_c = jnp.where(thin, 1.0, trad_c)
+
+    # ---- non-conservative branch ----
+    za1 = gamma1 * gamma4 + gamma2 * gamma3
+    za2 = gamma1 * gamma3 + gamma2 * gamma4
+    zrk = jnp.sqrt(jnp.maximum(gamma1 * gamma1 - gamma2 * gamma2, 1e-12))
+    zrp = zrk * mu0
+    zrp1 = 1.0 + zrp
+    zrm1 = 1.0 - zrp
+    zrk2 = 2.0 * zrk
+    zrpp = 1.0 - zrp * zrp
+    zrkg = zrk + gamma1
+    zr1 = zrm1 * (za2 + zrk * gamma3)
+    zr2 = zrp1 * (za2 - zrk * gamma3)
+    zr3 = zrk2 * (gamma3 - za2 * mu0)
+    zr4 = zrpp * zrkg
+    zr5 = zrpp * (zrk - gamma1)
+    zt1 = zrp1 * (za1 + zrk * gamma4)
+    zt2 = zrm1 * (za1 - zrk * gamma4)
+    zt3 = zrk2 * (gamma4 + za1 * mu0)
+    zbeta = (gamma1 - zrk) / zrkg
+
+    ze1 = jnp.minimum(zrk * tau, 5.0)
+    ze2 = jnp.minimum(tau / mu0, 5.0)
+    zem1 = jnp.where(ze1 <= _OD_LO, 1.0 - ze1 + 0.5 * ze1 * ze1,
+                     jnp.exp(-ze1))
+    zep1 = 1.0 / zem1
+    zem2 = jnp.where(ze2 <= _OD_LO, 1.0 - ze2 + 0.5 * ze2 * ze2,
+                     jnp.exp(-ze2))
+    zep2 = 1.0 / zem2
+
+    zdenr = zr4 * zep1 + zr5 * zem1    # zt4=zr4, zt5=zr5: same denominator
+    denr_tiny = jnp.abs(zdenr) <= _EPS
+    safe_denr = jnp.where(denr_tiny, 1.0, zdenr)
+    ref_n = jnp.where(denr_tiny, _EPS,
+                      w * (zr1 * zep1 - zr2 * zem1 - zr3 * zem2) / safe_denr)
+    tra_n = jnp.where(denr_tiny, zem2,
+                      zem2 - zem2 * w * (zt1 * zep1 - zt2 * zem1
+                                         - zt3 * zep2) / safe_denr)
+    zemm = zem1 * zem1
+    zdend = 1.0 / ((1.0 - zbeta * zemm) * zrkg)
+    refd_n = gamma2 * (1.0 - zemm) * zdend
+    trad_n = zrk2 * zem1 * zdend
+
+    ref = jnp.where(conservative, ref_c, ref_n)
+    tra = jnp.where(conservative, tra_c, tra_n)
+    refd = jnp.where(conservative, refd_c, refd_n)
+    trad = jnp.where(conservative, trad_c, trad_n)
+    return ref, tra, refd, trad
+
+
+def vrtqdr_sw(ref, tra, refd, trad, ref_sfc_dir, ref_sfc_dif, dbt, tdbt):
+    """Vertical adding (vrtqdr_sw) with lax.scans.
+
+    ref/tra/refd/trad: [..., nlay, ngpt] layer properties (TOA-first).
+    ref_sfc_dir/dif: [..., ngpt] surface reflectivities.
+    dbt: [..., nlay, ngpt] layer direct transmittance.
+    tdbt: [..., nlay+1, ngpt] cumulative direct transmittance at levels.
+
+    Returns (fd, fu): [..., nlay+1, ngpt] normalized fluxes.
+    """
+    nlay = ref.shape[-2]
+
+    def mov(x):
+        return jnp.moveaxis(x, -2, 0)
+
+    ref_l, tra_l, refd_l, trad_l, dbt_l = map(
+        mov, (ref, tra, refd, trad, dbt))
+    tdbt_l = jnp.moveaxis(tdbt, -2, 0)
+
+    # composite below level k: scan up from the surface
+    def up_step(carry, xs):
+        rup, rupd = carry
+        rf, tr, rfd, trd, db = xs
+        zrefl = 1.0 / (1.0 - rupd * rfd)
+        rup_n = rf + trd * ((tr - db) * rupd + db * rup) * zrefl
+        rupd_n = rfd + trd * trd * rupd * zrefl
+        return (rup_n, rupd_n), (rup_n, rupd_n)
+
+    carry0 = (ref_sfc_dir, ref_sfc_dif)
+    _, (rup_seq, rupd_seq) = lax.scan(
+        up_step, carry0,
+        tuple(x[::-1] for x in (ref_l, tra_l, refd_l, trad_l, dbt_l)))
+    # rup_seq[i] = prup at level nlay-1-i
+    prup = jnp.concatenate([rup_seq[::-1], ref_sfc_dir[None]], axis=0)
+    prupd = jnp.concatenate([rupd_seq[::-1], ref_sfc_dif[None]], axis=0)
+
+    # composite above level k: scan down from TOA
+    one = jnp.ones_like(ref_sfc_dir)
+    zero = jnp.zeros_like(ref_sfc_dir)
+
+    def down_step(carry, xs):
+        ztdn, rdnd = carry
+        rf, tr, rfd, trd, db, tdb = xs
+        zrefl = 1.0 / (1.0 - rfd * rdnd)
+        ztdn_n = tdb * tr + trd * ((ztdn - tdb) + tdb * rf * rdnd) * zrefl
+        rdnd_n = rfd + trd * trd * rdnd * zrefl
+        return (ztdn_n, rdnd_n), (ztdn_n, rdnd_n)
+
+    _, (tdn_seq, rdnd_seq) = lax.scan(
+        down_step, (one, zero),
+        (ref_l, tra_l, refd_l, trad_l, dbt_l, tdbt_l[:-1]))
+    ztdn = jnp.concatenate([one[None], tdn_seq], axis=0)
+    prdnd = jnp.concatenate([zero[None], rdnd_seq], axis=0)
+
+    zrefl = 1.0 / (1.0 - prdnd * prupd)
+    fu = (tdbt_l * prup + (ztdn - tdbt_l) * prupd) * zrefl
+    fd = tdbt_l + (ztdn - tdbt_l + tdbt_l * prup * prdnd) * zrefl
+    return jnp.moveaxis(fd, 0, -2), jnp.moveaxis(fu, 0, -2)
+
+
+def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
+              cldymc, taucmc, ssacmc, asmcmc,
+              taua=None, ssaa=None, asya=None, adjflux=1.0):
+    """SW flux solver over 112 g-points, clear + McICA-cloudy passes.
+
+    coefs: SWCoefs; taug/taur [ncol, nlay, 112]; sfluxzen [ncol, 112];
+    mu0 [ncol]; albdir/albdif [ncol, 14]; cloud arrays [ncol, nlay, 112];
+    taua/ssaa/asya: optional aerosol optics [ncol, nlay, 14].
+    adjflux: scalar Earth-Sun distance factor.
+
+    Returns dict of [ncol, nlay+1] fluxes (W/m^2): bbfu, bbfd, bbcu, bbcd,
+    bbfddir, bbcddir, uvfd, uvcd, uvfddir, uvcddir, nifd, nicd, nifddir,
+    nicddir; plus surface band quantities.
+    """
+    dtype = taug.dtype
+    ncol, nlay, ngpt = taug.shape
+    mu0c = jnp.maximum(mu0, 1e-4)
+
+    ngb = _NGB14                                  # 1..14 per g
+    if taua is None:
+        taua_g = jnp.zeros_like(taug)
+        ssaa_g = jnp.zeros_like(taug)
+        asya_g = jnp.zeros_like(taug)
+    else:
+        taua_g = taua[..., ngb - 1]
+        ssaa_g = ssaa[..., ngb - 1]
+        asya_g = asya[..., ngb - 1]
+
+    # clear-sky optical properties + delta scaling (spcvmc.F90:340-356)
+    ztauo = taur + taug + taua_g
+    zomco = taur + taua_g * ssaa_g
+    zgco = (asya_g * ssaa_g * taua_g) / jnp.maximum(zomco, 1e-30)
+    zomco = zomco / ztauo
+    zf = zgco * zgco
+    zwf = zomco * zf
+    ztauo_c = (1.0 - zwf) * ztauo
+    zomco_c = (zomco - zwf) / (1.0 - zwf)
+    zgco_c = (zgco - zf) / (1.0 - zf)
+
+    ref_sfc_dir = albdir[..., ngb - 1]
+    ref_sfc_dif = albdif[..., ngb - 1]
+
+    def solve(tau, w, g):
+        ref, tra, refd, trad = reftra_sw(tau, w, g, mu0c)
+        dbt = jnp.exp(-jnp.minimum(tau / mu0c[..., None, None], 500.0))
+        tdbt = jnp.concatenate(
+            [jnp.ones_like(dbt[..., :1, :]),
+             jnp.cumprod(dbt, axis=-2)], axis=-2)
+        fd, fu = vrtqdr_sw(ref, tra, refd, trad, ref_sfc_dir, ref_sfc_dif,
+                           dbt, tdbt)
+        return fd, fu, tdbt
+
+    fd_c, fu_c, tdbt_c = solve(ztauo_c, zomco_c, zgco_c)
+
+    # cloudy: add (already delta-scaled) cloud optics where cloudy
+    tg = ztauo_c * zomco_c * zgco_c + taucmc * ssacmc * asmcmc
+    to_ = ztauo_c * zomco_c + taucmc * ssacmc
+    tt = ztauo_c + taucmc
+    g_all = tg / jnp.maximum(to_, 1e-30)
+    w_all = to_ / tt
+    tau_all = jnp.where(cldymc, tt, ztauo_c)
+    w_all = jnp.where(cldymc, w_all, zomco_c)
+    g_all = jnp.where(cldymc, g_all, zgco_c)
+
+    fd_a, fu_a, tdbt_a = solve(tau_all, w_all, g_all)
+
+    # incident flux per g-point
+    zincflx = adjflux * sfluxzen * mu0c[..., None]     # [ncol, ngpt]
+
+    uv_mask = jnp.asarray((ngb >= 10) & (ngb <= 13), dtype)
+    nir_mask = jnp.asarray((ngb <= 9) | (ngb == 14), dtype)
+
+    def agg(x, mask=None):
+        wgt = zincflx if mask is None else zincflx * mask
+        return jnp.einsum("clg,cg->cl", x, wgt)
+
+    out = dict(
+        bbcu=agg(fu_c), bbcd=agg(fd_c), bbcddir=agg(tdbt_c),
+        bbfu=agg(fu_a), bbfd=agg(fd_a), bbfddir=agg(tdbt_a),
+        uvcd=agg(fd_c, uv_mask), uvcddir=agg(tdbt_c, uv_mask),
+        uvfd=agg(fd_a, uv_mask), uvfddir=agg(tdbt_a, uv_mask),
+        nicd=agg(fd_c, nir_mask), nicddir=agg(tdbt_c, nir_mask),
+        nifd=agg(fd_a, nir_mask), nifddir=agg(tdbt_a, nir_mask))
+
+    # surface band aggregation (spcvmc.F90:520-556): nir = bands<=8 or 14,
+    # par = 10-11 (+half of 9), uv = 12-13 (+... band 9 half to nir)
+    sfc_dir = tdbt_a[..., -1, :] * zincflx      # per g
+    sfc_tot = fd_a[..., -1, :] * zincflx
+    sfc_up = fu_a[..., -1, :] * zincflx
+
+    def band_sum(x, sel):
+        return jnp.einsum("cg,g->c", x, jnp.asarray(sel, dtype))
+
+    nir_sel = ((ngb <= 8) | (ngb == 14)).astype(np.float32) \
+        + 0.5 * (ngb == 9)
+    par_sel = ((ngb >= 10) & (ngb <= 11)).astype(np.float32) \
+        + 0.5 * (ngb == 9)
+    uvr_sel = ((ngb >= 12) & (ngb <= 13)).astype(np.float32)
+    out["nirr"] = band_sum(sfc_dir, nir_sel)
+    out["nirf"] = band_sum(sfc_tot, nir_sel)
+    out["parr"] = band_sum(sfc_dir, par_sel)
+    out["parf"] = band_sum(sfc_tot, par_sel)
+    out["uvrr"] = band_sum(sfc_dir, uvr_sel)
+    out["uvrf"] = band_sum(sfc_tot, uvr_sel)
+
+    onehot = jnp.asarray(np.eye(14, dtype=np.float32)[ngb - 1], dtype)
+    out["fndsbnd"] = (sfc_tot - sfc_up) @ onehot
+    out["drband"] = sfc_dir @ onehot
+    out["dfband"] = (sfc_tot - sfc_dir) @ onehot
+    return out

@@ -1,0 +1,94 @@
+"""RRTMG-SW all-sky McICA driver (the reference's rrtmg_sw / rrtmg_sw_sub).
+
+Pipeline per rrtmg_sw_rad.F90:455-1763: stochastic subcolumns (SW seed
+order reversed vs LW, :1402), SW cloud optics with delta scaling, setcoef,
+then spcvmc (taumol + two-stream + adding) for clear and all-sky fluxes.
+
+The reference's clear/cloudy gridcolumn partitioning (:1130-1204) is an
+MPI-era optimization; here the full batch computes both streams (the
+clear-sky pass is shared inside spcvmc), and XLA/the mesh handle tiling.
+
+All inputs TOA-first. scon: solar constant (W/m^2); isolvar=-1 semantics
+(solar-cycle variability modes land with NRLSSI2 integration).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.mcica import generate_stochastic_clouds, clear_counts_three_band
+from .cldprmc_sw import cldprmc_sw
+from .setcoef_sw import setcoef_sw
+from .spcvmc import spcvmc_sw
+from .taumol_sw import taumol_sw
+from .tables_sw import NGPTSW
+
+RRSW_SCON = 1368.22    # internal solar constant of the k-tables (rrsw_con)
+
+
+@partial(jax.jit, static_argnames=("iceflag", "liqflag", "cloud_mh",
+                                   "cloud_lm", "inhm"))
+def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
+             albdir_nir, albdif_nir,
+             h2ovmr, o3vmr, co2vmr, ch4vmr, o2vmr,
+             cldf, ciwp, clwp, rei, rel, zm, alat, doy,
+             taua=None, ssaa=None, asya=None,
+             scon=1361.0, adjes=1.0, *,
+             iceflag=3, liqflag=1, cloud_mh=1, cloud_lm=2, inhm=1):
+    """RRTMG SW fluxes with McICA clouds.
+
+    Args (TOA-first):
+      ple [ncol, nlay+1] Pa; play [ncol, nlay] hPa; tlay [K]
+      coszen [ncol]; albedos [ncol] (UV/vis and NIR, direct/diffuse)
+      gas vmrs [ncol, nlay]
+      cldf, ciwp, clwp (in-cloud g/m^2), rei, rel, zm, alat, doy: as in LW
+      taua/ssaa/asya: optional [ncol, nlay, 14] aerosol optics
+      scon: solar constant; adjes: Earth-Sun distance factor
+
+    Returns dict of [ncol, nlay+1] fluxes (W/m^2): bbfu/bbfd (all-sky
+    up/down), bbcu/bbcd (clear), direct components, UV/NIR band profiles,
+    surface band fluxes, clear_counts.
+    """
+    plev = ple * 0.01
+
+    cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
+        zm, alat, doy, play, cldf, ciwp, clwp, 1.0e-20,
+        nsubcol=NGPTSW, inhm=inhm, seed_order=(3, 2, 1, 0))
+    counts = clear_counts_three_band(cldy, cloud_mh, cloud_lm)
+
+    taucmc_gl, ssacmc_gl, asmcmc_gl, taormc_gl = cldprmc_sw(
+        cldy, ciwp_s, clwp_s, rei, rel, iceflag=iceflag, liqflag=liqflag)
+    swap = lambda x: jnp.swapaxes(x, -1, -2)      # -> [ncol, nlay, ngpt]
+    taucmc = swap(taucmc_gl)
+    ssacmc = swap(ssacmc_gl)
+    asmcmc = swap(asmcmc_gl)
+    cldymc = swap(cldy)
+
+    coefs = setcoef_sw(play, tlay, plev, h2ovmr, o3vmr, co2vmr, ch4vmr,
+                       o2vmr)
+    taug, taur, sfluxzen = taumol_sw(coefs)
+
+    # band albedo vectors: bands 10-13 (UV/vis) use UV albedo; 14 and 1-9
+    # NIR; band 9 is split in the reference's aggregation but albedo uses
+    # NIR (GEOS_SolarGridComp passes band-9 via NIR albedos)
+    import numpy as np
+    ibm = np.arange(1, 15)
+    uvband = (ibm >= 10) & (ibm <= 13)
+    albdir = jnp.where(jnp.asarray(uvband), albdir_uv[:, None],
+                       albdir_nir[:, None])
+    albdif = jnp.where(jnp.asarray(uvband), albdif_uv[:, None],
+                       albdif_nir[:, None])
+
+    adjflux = adjes * (scon / RRSW_SCON)
+    out = spcvmc_sw(coefs, taug, taur, sfluxzen, coszen, albdir, albdif,
+                    cldymc, taucmc, ssacmc, asmcmc,
+                    taua=taua, ssaa=ssaa, asya=asya, adjflux=adjflux)
+    out["clear_counts"] = counts
+    # zero out fluxes for night columns
+    day = (coszen > 0.0).astype(taug.dtype)
+    for k, v in out.items():
+        if k == "clear_counts":
+            continue
+        out[k] = v * day.reshape((-1,) + (1,) * (v.ndim - 1))
+    return out
