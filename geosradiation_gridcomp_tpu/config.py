@@ -1,0 +1,54 @@
+"""Radiation configuration (the reference's MAPL resource surface).
+
+Static fields feed jit specialization, mirroring AGCM.rc resources
+(SURVEY.md par. "Config / flag system"): scheme flags USE_RRTMG_SORAD /
+USE_RRTMG_IRRAD (GEOS_SolarGridComp.F90:7806-7855), super-layer pressures
+PRS_LOW_MID_CLOUDS / PRS_MID_HIGH_CLOUDS, condensate inhomogeneity mode,
+solar constant handling, and time control (heartbeat / refresh interval).
+"""
+
+import dataclasses
+import enum
+
+
+class Scheme(enum.Enum):
+    CHOU = "chou"
+    RRTMG = "rrtmg"
+
+
+@dataclasses.dataclass(frozen=True)
+class RadiationConfig:
+    # scheme selection (precedence RRTMGP > RRTMG > Chou in the reference;
+    # RRTMGP lands later)
+    sw_scheme: Scheme = Scheme.RRTMG
+    lw_scheme: Scheme = Scheme.RRTMG
+
+    # time control [s]
+    run_dt: float = 1800.0            # model heartbeat (RUN_DT)
+    solar_dt: float = 3600.0          # full-RT refresh interval (SOLAR_DT)
+
+    # cloud super-layer boundaries [Pa]
+    prs_mid_high_clouds: float = 40000.0    # PRS_MID_HIGH_CLOUDS
+    prs_low_mid_clouds: float = 70000.0     # PRS_LOW_MID_CLOUDS
+
+    # physics options
+    solar_constant: float = 1361.0          # SOLAR_CONSTANT (W/m^2)
+    co2: float = 410.0e-6                   # volume mixing ratio default
+    condensate_inhomogeneity: int = 1       # 0 homog, 1 beta, 2 gamma
+    iceflag_lw: int = 3
+    liqflag_lw: int = 1
+    iceflag_sw: int = 3
+    liqflag_sw: int = 1
+    trace_gases: bool = True                # Chou LW `trace`
+    ts_derivs: bool = True                  # LW dF/dTs Jacobians
+
+    def superlayer_indices(self, pref_pa):
+        """Level indices (1-based, TOA-first) nearest the super-layer
+        boundary pressures, from a 1-D reference mid-level pressure [Pa]
+        (the reference derives LCLDMH/LCLDLM from PREF,
+        GEOS_SolarGridComp.F90:3035-3066)."""
+        import numpy as np
+        p = np.asarray(pref_pa)
+        ict = int(np.argmin(np.abs(p - self.prs_mid_high_clouds))) + 1
+        icb = int(np.argmin(np.abs(p - self.prs_low_mid_clouds))) + 1
+        return ict, icb

@@ -1,0 +1,40 @@
+"""Checkpointable radiation internal state (pytrees).
+
+Mirrors the reference's MAPL Internal states: Solar keeps NORMALIZED fluxes
+(fractions of refresh-time TOA insolation, GEOS_SolarGridComp.F90:106-119,
+FSWN et al. :694-701); Irrad keeps fluxes at refresh plus the surface-
+temperature Jacobian and the refresh-time Ts (GEOS_IrradGridComp.F90:
+1370-1387). These pytrees ARE the checkpoint: save/restore with orbax.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class SolarState(NamedTuple):
+    """Normalized SW internal state (per column batch)."""
+    flxn: jnp.ndarray        # [ncol, nlev+1] net downward / TOA insolation
+    flcn: jnp.ndarray        # clear-sky net
+    flxun: jnp.ndarray       # upward diffuse
+    flcun: jnp.ndarray       # clear upward
+    fdir_uv_n: jnp.ndarray   # [ncol] surface direct UV
+    fdif_uv_n: jnp.ndarray
+    fdir_par_n: jnp.ndarray
+    fdif_par_n: jnp.ndarray
+    fdir_nir_n: jnp.ndarray
+    fdif_nir_n: jnp.ndarray
+    flx_sfc_band_n: jnp.ndarray  # [ncol, nbands]
+    drband_n: jnp.ndarray        # [ncol, nbands] surface direct per band
+    dfband_n: jnp.ndarray        # [ncol, nbands] surface diffuse per band
+
+
+class IrradState(NamedTuple):
+    """LW internal state at refresh time (W/m^2, positive up/down)."""
+    flx: jnp.ndarray         # [ncol, nlev+1] net downward (dn - up)
+    flc: jnp.ndarray         # clear-sky net
+    flxu: jnp.ndarray        # upward
+    flxd: jnp.ndarray        # downward
+    dfdts: jnp.ndarray       # [ncol, nlev+1] d(net)/dTs (negative)
+    sfcem: jnp.ndarray       # [ncol] surface emission (negative)
+    ts: jnp.ndarray          # [ncol] Ts at refresh

@@ -1,0 +1,42 @@
+"""Top-level radiation step: the composite GridComp's Run in functional form.
+
+`radiation_refresh` = full SW+LW RT (the RunAlarm branch); `radiation_update`
+= the cheap per-heartbeat export path. Both jit cleanly and run unchanged on
+a column-sharded mesh.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RadiationConfig, Scheme
+from .radiation import (AtmosInputs, solar_refresh, solar_update,
+                        irrad_refresh, irrad_update, heating_rates,
+                        surface_lw_linearization)
+from .astronomy import mean_cos_zenith
+
+
+@partial(jax.jit, static_argnames=("config", "ict", "icb"))
+def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb):
+    """Full SW+LW refresh. Returns (solar_state, irrad_state)."""
+    slr, lit = mean_cos_zenith(inp.lons, inp.lats, doy, utc_hours,
+                               config.solar_dt / 3600.0)
+    zth = jnp.where(lit > 0.0, slr / jnp.maximum(lit, 1e-6), 0.0)
+    sol = solar_refresh(inp, zth, doy, config, ict, icb)
+    irr = irrad_refresh(inp, doy, config, ict, icb)
+    return sol, irr
+
+
+@partial(jax.jit, static_argnames=("config",))
+def radiation_update(solar_state, irrad_state, tsinst, lons, lats, ple,
+                     doy, utc_hours, *, config):
+    """Per-heartbeat exports + heating rates."""
+    mu_now, _ = mean_cos_zenith(lons, lats, doy, utc_hours,
+                                config.run_dt / 3600.0)
+    sw = solar_update(solar_state, mu_now, doy, config)
+    lw = irrad_update(irrad_state, tsinst)
+    dtdt = heating_rates(sw["fsw"], lw["flw"], ple)
+    out = dict(sw=sw, lw=lw, dtdt=dtdt)
+    out.update(surface_lw_linearization(irrad_state))
+    return out
