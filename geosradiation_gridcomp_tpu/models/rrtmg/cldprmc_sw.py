@@ -4,6 +4,11 @@ Re-derivation of rrtmg_sw_cldprmc.F90:40-330: per-g-point extinction, ssa,
 asymmetry from in-cloud water paths and particle sizes; ice options
 Ebert-Curry (1), Key/Streamer (2), Fu (3); liquid Hu-Stamnes; delta-scaled
 with forward fraction f = g^2 (f from the Fu fdelta table for iceflag 3).
+
+TPU layout note (same as cldprmc_lw): the radius interpolation gathers
+contiguous 14-band table rows with [ncol, nlay] indices, then expands
+band->g-point with a static index map; water paths are the only per-g
+quantities.
 """
 
 import jax.numpy as jnp
@@ -13,7 +18,20 @@ from ...tables import load
 from .tables_sw import NG_SW
 
 _NGB = np.repeat(np.arange(16, 30), NG_SW)     # band 16..29 per g
+_BAND_G = _NGB - 16                            # 0-based band per g
 _CLDMIN = 1.0e-20
+
+
+def _interp_rows(tab, index, fint):
+    """tab (n, 14); index/fint [..., nlay] -> [..., nlay, 14]."""
+    lo = tab[index - 1]
+    hi = tab[index]
+    return lo + fint[..., None] * (hi - lo)
+
+
+def _to_g(band_arr):
+    """[..., nlay, 14] -> [..., ngpt, nlay] via the static band map."""
+    return jnp.swapaxes(band_arr[..., _BAND_G], -1, -2)
 
 
 def cldprmc_sw(cldymc, ciwpmc, clwpmc, reice, reliq, iceflag=3, liqflag=1):
@@ -24,13 +42,11 @@ def cldprmc_sw(cldymc, ciwpmc, clwpmc, reice, reliq, iceflag=3, liqflag=1):
     """
     t = load("rrtmg_sw_cld")
     dtype = ciwpmc.dtype
-    re_i = reice[..., None, :]
-    re_l = reliq[..., None, :]
-    icxa = np.asarray(t["icxa"], np.int64)        # band -> 5-band (iceflag 1)
-    band_g = _NGB - 16                            # 0-based band per g
 
     if iceflag == 1:
-        ib5 = icxa[band_g] - 1
+        icxa = np.asarray(t["icxa"], np.int64)
+        ib5 = icxa[_BAND_G] - 1                   # per-g 5-band index
+        re_i = reice[..., None, :]
         abari = t["abari"][ib5][:, None]
         bbari = t["bbari"][ib5][:, None]
         cbari = t["cbari"][ib5][:, None]
@@ -47,24 +63,15 @@ def cldprmc_sw(cldymc, ciwpmc, clwpmc, reice, reliq, iceflag=3, liqflag=1):
         ssa = jnp.asarray(t["ssaice" + suff], dtype)
         asy = jnp.asarray(t["asyice" + suff], dtype)
         n = ext.shape[0]
-        factor = (re_i - 2.0) / 3.0
+        factor = (reice - 2.0) / 3.0
         index = jnp.clip(jnp.floor(factor).astype(jnp.int32), 1, n - 1)
         fint = factor - index.astype(dtype)
-        g_idx = jnp.asarray(band_g)[:, None]
-
-        def lin(tab):
-            idx = jnp.broadcast_to(index, ciwpmc.shape)
-            gg = jnp.broadcast_to(g_idx, ciwpmc.shape)
-            lo = tab[idx - 1, gg]
-            hi = tab[idx, gg]
-            return lo + fint * (hi - lo)
-
-        extcoice = lin(ext)
-        ssacoice = lin(ssa)
-        gice = lin(asy)
+        extcoice = _to_g(_interp_rows(ext, index, fint))
+        ssacoice = _to_g(_interp_rows(ssa, index, fint))
+        gice = _to_g(_interp_rows(asy, index, fint))
         if iceflag == 3:
             fdl = jnp.asarray(t["fdlice3"], dtype)
-            fdelta = lin(fdl)
+            fdelta = _to_g(_interp_rows(fdl, index, fint))
             forwice = jnp.minimum(
                 fdelta + 0.5 / jnp.maximum(ssacoice, 1e-12), gice)
         else:
@@ -81,26 +88,17 @@ def cldprmc_sw(cldymc, ciwpmc, clwpmc, reice, reliq, iceflag=3, liqflag=1):
     ssal = jnp.asarray(t["ssaliq1"], dtype)
     asyl = jnp.asarray(t["asyliq1"], dtype)
     nl = extl.shape[0]
-    factor_l = re_l - 1.5
+    factor_l = reliq - 1.5
     index_l = jnp.clip(jnp.floor(factor_l).astype(jnp.int32), 1, nl - 1)
     fint_l = factor_l - index_l.astype(dtype)
-    g_idx = jnp.asarray(band_g)[:, None]
-
-    def lin_l(tab):
-        idx = jnp.broadcast_to(index_l, clwpmc.shape)
-        gg = jnp.broadcast_to(g_idx, clwpmc.shape)
-        lo = tab[idx - 1, gg]
-        hi = tab[idx, gg]
-        return lo + fint_l * (hi - lo)
-
-    extcoliq = lin_l(extl)
-    ssacoliq = lin_l(ssal)
+    extcoliq = _to_g(_interp_rows(extl, index_l, fint_l))
+    ssacoliq = _to_g(_interp_rows(ssal, index_l, fint_l))
     # clamp the low-radius extrapolation overshoot (cldprmc_sw.F90:230-231)
-    ssal_base = ssal[jnp.broadcast_to(index_l - 1, clwpmc.shape),
-                     jnp.broadcast_to(g_idx, clwpmc.shape)]
-    ssacoliq = jnp.where((fint_l < 0.0) & (ssacoliq > 1.0), ssal_base,
-                         ssacoliq)
-    gliq = lin_l(asyl)
+    ssal_base = _to_g(jnp.broadcast_to(
+        ssal[index_l - 1], fint_l.shape + (14,)))
+    ssacoliq = jnp.where((fint_l[..., None, :] < 0.0) & (ssacoliq > 1.0),
+                         ssal_base, ssacoliq)
+    gliq = _to_g(_interp_rows(asyl, index_l, fint_l))
     forwliq = gliq * gliq
 
     has_liq = cldymc & (clwpmc > 0.0)
