@@ -33,6 +33,13 @@ class RadiationConfig:
 
     # physics options
     solar_constant: float = 1361.0          # SOLAR_CONSTANT (W/m^2)
+    # NRLSSI2 solar variability (ISOLVAR / SOLCYCFRAC / INDSOLVAR_*,
+    # GEOS_SolarGridComp.F90:6244,6308-6309): -1 Kurucz const sun,
+    # 0 NRLSSI2 mean sun, 1 mean cycle at solcycfrac, 2 direct Mg/SB
+    # indices, 3 mean sun with band scaling
+    isolvar: int = -1
+    solcycfrac: float = 0.0                 # position in mean cycle [0,1]
+    indsolvar: tuple = None                 # (Mg, SB) or amplitude scales
     co2: float = 410.0e-6                   # volume mixing ratio default
     condensate_inhomogeneity: int = 1       # 0 homog, 1 beta, 2 gamma
     iceflag_lw: int = 3
@@ -41,6 +48,14 @@ class RadiationConfig:
     liqflag_sw: int = 1
     trace_gases: bool = True                # Chou LW `trace`
     ts_derivs: bool = True                  # LW dF/dTs Jacobians
+
+    def effective_scon(self):
+        """TOA solar constant used for flux normalization. solar_constant=0
+        selects the scheme-internal value (1368.22 Kurucz for isolvar=-1,
+        1360.85 NRLSSI2 mean otherwise), matching rrtmg_sw_rad.F90:975-979."""
+        if self.solar_constant > 0.0:
+            return self.solar_constant
+        return 1368.22 if self.isolvar == -1 else 1360.85
 
     def superlayer_indices(self, pref_pa):
         """Level indices (1-based, TOA-first) nearest the super-layer

@@ -124,11 +124,15 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
                    zm, inp.lats, doy,
                    taua=taua, ssaa=ssaa, asya=asya,
                    scon=config.solar_constant,
+                   isolvar=config.isolvar,
+                   solcycfrac=(config.solcycfrac
+                               if config.isolvar == 1 else None),
+                   indsolvar=config.indsolvar,
                    iceflag=config.iceflag_sw, liqflag=config.liqflag_sw,
                    cloud_mh=ict, cloud_lm=icb,
                    inhm=config.condensate_inhomogeneity)
     # normalize by refresh-time TOA insolation
-    s0 = config.solar_constant * jnp.maximum(cosz, 1e-6)
+    s0 = config.effective_scon() * jnp.maximum(cosz, 1e-6)
     inv = jnp.where(cosz > 0.0, 1.0 / s0, 0.0)
     nv = lambda x: x * inv.reshape((-1,) + (1,) * (x.ndim - 1))
     return SolarState(
@@ -149,7 +153,7 @@ def solar_update(state: SolarState, cosz_now, doy_now,
     Returns dict of W/m^2 exports.
     """
     from .astronomy import earth_sun_factor
-    sln = (config.solar_constant * earth_sun_factor(doy_now)
+    sln = (config.effective_scon() * earth_sun_factor(doy_now)
            * jnp.maximum(cosz_now, 0.0))
     sc = lambda x: x * sln.reshape((-1,) + (1,) * (x.ndim - 1))
     return dict(

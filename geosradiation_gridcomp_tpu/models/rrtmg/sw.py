@@ -8,8 +8,9 @@ The reference's clear/cloudy gridcolumn partitioning (:1130-1204) is an
 MPI-era optimization; here the full batch computes both streams (the
 clear-sky pass is shared inside spcvmc), and XLA/the mesh handle tiling.
 
-All inputs TOA-first. scon: solar constant (W/m^2); isolvar=-1 semantics
-(solar-cycle variability modes land with NRLSSI2 integration).
+All inputs TOA-first. scon: solar constant (W/m^2). Solar-cycle
+variability: isolvar modes -1..3 per NRLSSI2 (nrlssi2.py), folded into
+the solar-source tables as static per-band weights.
 """
 
 from functools import partial
@@ -19,6 +20,7 @@ import jax.numpy as jnp
 
 from ...ops.mcica import generate_stochastic_clouds, clear_counts_three_band
 from .cldprmc_sw import cldprmc_sw
+from .nrlssi2 import solar_source_weights
 from .setcoef_sw import setcoef_sw
 from .spcvmc import spcvmc_sw
 from .taumol_sw import taumol_sw
@@ -28,13 +30,15 @@ RRSW_SCON = 1368.22    # internal solar constant of the k-tables (rrsw_con)
 
 
 @partial(jax.jit, static_argnames=("iceflag", "liqflag", "cloud_mh",
-                                   "cloud_lm", "inhm"))
+                                   "cloud_lm", "inhm", "scon", "isolvar",
+                                   "solcycfrac", "indsolvar", "bndscl"))
 def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
              albdir_nir, albdif_nir,
              h2ovmr, o3vmr, co2vmr, ch4vmr, o2vmr,
              cldf, ciwp, clwp, rei, rel, zm, alat, doy,
              taua=None, ssaa=None, asya=None,
-             scon=1361.0, adjes=1.0, *,
+             adjes=1.0, *, scon=1361.0,
+             isolvar=-1, solcycfrac=None, indsolvar=None, bndscl=None,
              iceflag=3, liqflag=1, cloud_mh=1, cloud_lm=2, inhm=1):
     """RRTMG SW fluxes with McICA clouds.
 
@@ -44,7 +48,9 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
       gas vmrs [ncol, nlay]
       cldf, ciwp, clwp (in-cloud g/m^2), rei, rel, zm, alat, doy: as in LW
       taua/ssaa/asya: optional [ncol, nlay, 14] aerosol optics
-      scon: solar constant; adjes: Earth-Sun distance factor
+      scon: solar constant (0 = scheme-internal); adjes: Earth-Sun factor
+      isolvar/solcycfrac/indsolvar/bndscl: NRLSSI2 solar variability
+        (rrtmg_sw_rad.F90:968-1112); static config, all modes -1..3
 
     Returns dict of [ncol, nlay+1] fluxes (W/m^2): bbfu/bbfd (all-sky
     up/down), bbcu/bbcd (clear), direct components, UV/NIR band profiles,
@@ -67,7 +73,9 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
 
     coefs = setcoef_sw(play, tlay, plev, h2ovmr, o3vmr, co2vmr, ch4vmr,
                        o2vmr)
-    taug, taur, sfluxzen = taumol_sw(coefs)
+    svw = solar_source_weights(isolvar, scon, solcycfrac, indsolvar,
+                               bndscl)
+    taug, taur, sfluxzen = taumol_sw(coefs, svw)
 
     # band albedo vectors: bands 10-13 (UV/vis) use UV albedo; 14 and 1-9
     # NIR; band 9 is split in the reference's aggregation but albedo uses
@@ -80,7 +88,8 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
     albdif = jnp.where(jnp.asarray(uvband), albdif_uv[:, None],
                        albdif_nir[:, None])
 
-    adjflux = adjes * (scon / RRSW_SCON)
+    # scon / isolvar scaling is already folded into sfluxzen via svw
+    adjflux = adjes
     out = spcvmc_sw(coefs, taug, taur, sfluxzen, coszen, albdir, albdif,
                     cldymc, taucmc, ssacmc, asmcmc,
                     taua=taua, ssaa=ssaa, asya=asya, adjflux=adjflux)

@@ -91,8 +91,14 @@ def _laysolfr(c, band):
         return jnp.where(has, jnp.maximum(kmax, k_trop), k_trop)
 
 
-def taumol_sw(c):
-    """Returns (taug, taur, sfluxzen): [ncol, nlay, 112] x2, [ncol, 112]."""
+def taumol_sw(c, svw=None):
+    """Returns (taug, taur, sfluxzen): [ncol, nlay, 112] x2, [ncol, 112].
+
+    svw: optional nrlssi2.SolarVarWeights. When given, the per-band solar
+    source table becomes the static linear combination
+    w_ref*sfluxref + w_fac*facbrght + w_sns*snsptdrk + w_irr*irradnce
+    (the NRLSSI2 SSI decomposition folded at trace time - the isolvar
+    branches of rrtmg_sw_taumol.F90 at zero runtime cost)."""
     t = sw_tables()
     taug_parts, taur_parts, sflux_parts = [], [], []
     low = c.lower[..., None]
@@ -100,6 +106,12 @@ def taumol_sw(c):
     for band in range(16, 30):
         bi = band - 16
         tb = {k: jnp.asarray(v) for k, v in t[band].items()}
+        if svw is not None:
+            tb["sfluxref"] = jnp.asarray(
+                svw.w_ref[bi] * t[band]["sfluxref"]
+                + svw.w_fac[bi] * t[band]["facbrght"]
+                + svw.w_sns[bi] * t[band]["snsptdrk"]
+                + svw.w_irr[bi] * t[band]["irradnce"], jnp.float32)
         ng = NG_SW[bi]
         nspa = NSPA[bi]
         nspb = NSPB[bi]

@@ -8,7 +8,7 @@ from geosradiation_gridcomp_tpu.models.rrtmg.lw import mid_heights
 from tests.profiles import make_profile
 
 
-def run_sw(prof, cosz=0.7, albedo=0.1, **kw):
+def run_sw(prof, cosz=0.7, albedo=0.1, scon=1361.0, **kw):
     ncol, nlev = prof["ta"].shape
     ple = prof["ple"]
     play = (0.5 * (ple[:, 1:] + ple[:, :-1]) * 0.01).astype(np.float32)
@@ -28,7 +28,7 @@ def run_sw(prof, cosz=0.7, albedo=0.1, **kw):
         prof["fcld"], ciwp.astype(np.float32), clwp.astype(np.float32),
         np.full_like(prof["fcld"], 60.0), np.full_like(prof["fcld"], 10.0),
         zm, np.full((ncol,), 0.7, np.float32), 100,
-        cloud_mh=prof["ict"], cloud_lm=prof["icb"], scon=1361.0, **kw)
+        cloud_mh=prof["ict"], cloud_lm=prof["icb"], scon=scon, **kw)
 
 
 @pytest.fixture(scope="module")
