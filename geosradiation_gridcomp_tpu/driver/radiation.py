@@ -186,10 +186,14 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
                       ict=ict, icb=icb, trace=config.trace_gases,
                       with_aerosol=taua is not None)
         # Chou sign: up negative, down positive; net downward = flxd + flxu
+        zb = jnp.zeros((ncol, 16), out["flxd"].dtype)
         return IrradState(
             flx=out["flxd"] + out["flxu"], flc=out["flcd"] + out["flcu"],
             flxu=-out["flxu"], flxd=out["flxd"],
-            dfdts=out["dfdts"], sfcem=out["sfcem"], ts=inp.tsinst)
+            dfdts=out["dfdts"], sfcem=out["sfcem"], ts=inp.tsinst,
+            # band OLR is an RRTMG-only diagnostic in the reference
+            # (GEOS_IrradGridComp.F90:1257)
+            olrb=zb, dolrb_dts=zb)
 
     ncol = inp.t.shape[0]
     emis16 = jnp.broadcast_to(inp.emis[:, None], (ncol, 16))
@@ -212,10 +216,13 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
     dfdts = -out["duflx_dts"] if config.ts_derivs else jnp.zeros_like(net)
     sfcem = -(out["uflx"][:, -1]
               - out["dflx"][:, -1] * (1.0 - inp.emis))
+    zb = jnp.zeros((ncol, 16), net.dtype)
     return IrradState(
         flx=net, flc=out["dflxc"] - out["uflxc"],
         flxu=out["uflx"], flxd=out["dflx"],
-        dfdts=dfdts, sfcem=sfcem, ts=inp.tsinst)
+        dfdts=dfdts, sfcem=sfcem, ts=inp.tsinst,
+        olrb=out["olrb"],
+        dolrb_dts=out.get("dolrb_dts", zb) if config.ts_derivs else zb)
 
 
 def irrad_update(state: IrradState, tsinst):
@@ -228,9 +235,14 @@ def irrad_update(state: IrradState, tsinst):
     flx = state.flx + state.dfdts * delt
     olr = -(flx[:, 0])
     flns = -(flx[:, -1])
+    # Ts-advanced band OLR + brightness temperatures (TBRBbbRG exports,
+    # GEOS_IrradGridComp.F90:3994-4017)
+    from .diagnostics import band_brightness_temperature
+    olrb = state.olrb + state.dolrb_dts * delt
     return dict(flw=flx, flc=state.flc, olr=olr, flns=flns,
                 sfcem=state.sfcem + state.dfdts[:, -1] * delt[:, 0],
-                lws=-state.sfcem - state.dfdts[:, -1] * delt[:, 0])
+                lws=-state.sfcem - state.dfdts[:, -1] * delt[:, 0],
+                olrb=olrb, tbrb=band_brightness_temperature(olrb))
 
 
 # --------------------------------------------------------------------------

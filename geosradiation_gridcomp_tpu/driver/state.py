@@ -38,3 +38,19 @@ class IrradState(NamedTuple):
     dfdts: jnp.ndarray       # [ncol, nlev+1] d(net)/dTs (negative)
     sfcem: jnp.ndarray       # [ncol] surface emission (negative)
     ts: jnp.ndarray          # [ncol] Ts at refresh
+    olrb: jnp.ndarray        # [ncol, 16] band OLR (OLRBbbRG internals)
+    dolrb_dts: jnp.ndarray   # [ncol, 16] band dOLR/dTs (DOLRBbbRGDT)
+
+
+class RatsState(NamedTuple):
+    """Radiatively-active-trace-species diagnostics: LW internals from
+    re-running the scheme with one gas zeroed per entry
+    (GEOS_IrradGridComp.F90:3390-3468 FLX_RAT/DFDTS_RAT/SFCEM_RAT).
+
+    Leading axis = gas, ordered as the static `gases` tuple passed to
+    diagnostics.rats_refresh."""
+    flx: jnp.ndarray         # [ngas, ncol, nlev+1] net downward
+    flxu: jnp.ndarray        # [ngas, ncol, nlev+1]
+    flxd: jnp.ndarray        # [ngas, ncol, nlev+1]
+    dfdts: jnp.ndarray       # [ngas, ncol, nlev+1]
+    sfcem: jnp.ndarray       # [ngas, ncol]

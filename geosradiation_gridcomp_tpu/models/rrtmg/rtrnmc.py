@@ -173,8 +173,14 @@ def rtrnmc(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
     if dudts:
         out["duflx_dts"] = jnp.einsum("lcg,g->cl", dlu_lev, delwave_g)
         out["duflxc_dts"] = jnp.einsum("lcg,g->cl", dclru_lev, delwave_g)
-    # band OLR: top-level radiances per band
+    # band OLR: top-level radiances per band (OLRBRG export,
+    # rrtmg_lw_rtrnmc.F90 band_output path)
     olrb = jnp.zeros((ncol, 16), dtype).at[:, _NGB].add(
         radlu_lev[0] * delwave_g)
     out["olrb"] = olrb
+    if dudts:
+        # band d(OLR)/dTs (DOLRBRG_DTS) for the Ts-linearized band-OLR
+        # advance in Update_Flx (GEOS_IrradGridComp.F90:3994-4009)
+        out["dolrb_dts"] = jnp.zeros((ncol, 16), dtype).at[:, _NGB].add(
+            dlu_lev[0] * delwave_g)
     return out
