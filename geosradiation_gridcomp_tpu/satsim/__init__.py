@@ -1,0 +1,9 @@
+"""Satellite-simulator subsystem (the reference's GEOSsatsim_GridComp /
+COSP v1.x stack, SURVEY.md par. 2.7), re-designed TPU-first: all simulators
+are pure vectorized functions over (points, subcolumns, levels) batches,
+level sweeps are lax.scans / cumulative ops, and the subcolumn sampler
+uses counter-based jax.random instead of the congruential RNG (population
+statistics are the contract, as for McICA)."""
+
+from .scops import scops, prec_scops                        # noqa: F401
+from .icarus import isccp_simulator                         # noqa: F401
