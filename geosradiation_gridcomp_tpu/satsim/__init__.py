@@ -7,3 +7,5 @@ statistics are the contract, as for McICA)."""
 
 from .scops import scops, prec_scops                        # noqa: F401
 from .icarus import isccp_simulator                         # noqa: F401
+from .misr import misr_simulator                            # noqa: F401
+from .modis import modis_l2_simulator, modis_l3_simulator   # noqa: F401
