@@ -9,3 +9,4 @@ from .scops import scops, prec_scops                        # noqa: F401
 from .icarus import isccp_simulator                         # noqa: F401
 from .misr import misr_simulator                            # noqa: F401
 from .modis import modis_l2_simulator, modis_l3_simulator   # noqa: F401
+from .lidar import lidar_simulator, lidar_stats, parasol    # noqa: F401
