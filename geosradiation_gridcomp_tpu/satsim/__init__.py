@@ -10,3 +10,5 @@ from .icarus import isccp_simulator                         # noqa: F401
 from .misr import misr_simulator                            # noqa: F401
 from .modis import modis_l2_simulator, modis_l3_simulator   # noqa: F401
 from .lidar import lidar_simulator, lidar_stats, parasol    # noqa: F401
+from .radar import (quickbeam_simulator, radar_cfad,        # noqa: F401
+                    lidar_only_freq_cloud)
