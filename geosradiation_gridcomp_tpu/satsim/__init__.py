@@ -12,3 +12,4 @@ from .modis import modis_l2_simulator, modis_l3_simulator   # noqa: F401
 from .lidar import lidar_simulator, lidar_stats, parasol    # noqa: F401
 from .radar import (quickbeam_simulator, radar_cfad,        # noqa: F401
                     lidar_only_freq_cloud)
+from .cosp import cosp_simulator, SatsimInputs, SatsimConfig  # noqa: F401
