@@ -14,12 +14,24 @@ import enum
 class Scheme(enum.Enum):
     CHOU = "chou"
     RRTMG = "rrtmg"
+    RRTMGP = "rrtmgp"
+
+
+def choose_scheme(use_rrtmgp=False, use_rrtmg=False):
+    """Resource-flag scheme selection with the reference's precedence
+    RRTMGP > RRTMG > Chou (choose_solar_scheme / choose_irrad_scheme,
+    GEOS_SolarGridComp.F90:7806-7855)."""
+    if use_rrtmgp:
+        return Scheme.RRTMGP
+    if use_rrtmg:
+        return Scheme.RRTMG
+    return Scheme.CHOU
 
 
 @dataclasses.dataclass(frozen=True)
 class RadiationConfig:
-    # scheme selection (precedence RRTMGP > RRTMG > Chou in the reference;
-    # RRTMGP lands later)
+    # scheme selection (precedence RRTMGP > RRTMG > Chou,
+    # GEOS_SolarGridComp.F90:7806-7855; see choose_scheme)
     sw_scheme: Scheme = Scheme.RRTMG
     lw_scheme: Scheme = Scheme.RRTMG
 

@@ -114,6 +114,38 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
             flx_sfc_band_n=out["flx_sfc_band"],
             drband_n=out["drband"], dfband_n=out["dfband"])
 
+    if config.sw_scheme == Scheme.RRTMGP:
+        zm = mid_heights(play, inp.t, inp.ple[..., -1])
+        ciwp, clwp = _incloud_paths(inp)
+        from ..models.rrtmgp.scheme import rrtmgp_sw
+        out = rrtmgp_sw(inp.ple, play, inp.t, cosz,
+                        inp.albvr, inp.albvf, inp.albnr, inp.albnf,
+                        h2ovmr, o3vmr, inp.co2, inp.ch4,
+                        jnp.full_like(inp.co2, 0.2095),
+                        inp.fcld, ciwp, clwp, inp.ri, inp.rl,
+                        zm, inp.lats, doy,
+                        taua=taua, ssaa=ssaa, asya=asya,
+                        iceflag=config.iceflag_sw,
+                        liqflag=config.liqflag_sw,
+                        inhm=config.condensate_inhomogeneity)
+        s0 = config.effective_scon() * jnp.maximum(cosz, 1e-6)
+        inv = jnp.where(cosz > 0.0, 1.0 / s0, 0.0)
+        nv = lambda x: x * inv.reshape((-1,) + (1,) * (x.ndim - 1))
+        zc = jnp.zeros_like(cosz)
+        zb = jnp.zeros(cosz.shape + (14,), out["bbfd"].dtype)
+        # band-resolved surface diagnostics stay on the RRTMG/Chou
+        # paths; the RRTMGP path exports broadband + direct only
+        sfc_dir = nv(out["bbfddir"][:, -1])
+        sfc_dif = nv(out["bbfd"][:, -1]) - sfc_dir
+        return SolarState(
+            flxn=nv(out["bbfd"] - out["bbfu"]),
+            flcn=nv(out["bbcd"] - out["bbcu"]),
+            flxun=nv(out["bbfu"]), flcun=nv(out["bbcu"]),
+            fdir_uv_n=zc, fdif_uv_n=zc,
+            fdir_par_n=sfc_dir, fdif_par_n=sfc_dif,
+            fdir_nir_n=zc, fdif_nir_n=zc,
+            flx_sfc_band_n=zb, drband_n=zb, dfband_n=zb)
+
     zm = mid_heights(play, inp.t, inp.ple[..., -1])
     ciwp, clwp = _incloud_paths(inp)
     out = rrtmg_sw(inp.ple, play, inp.t, cosz,
@@ -194,6 +226,34 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
             # band OLR is an RRTMG-only diagnostic in the reference
             # (GEOS_IrradGridComp.F90:1257)
             olrb=zb, dolrb_dts=zb)
+
+    if config.lw_scheme == Scheme.RRTMGP:
+        ncol = inp.t.shape[0]
+        emis16 = jnp.broadcast_to(inp.emis[:, None], (ncol, 16))
+        zm = mid_heights(play, inp.t, inp.ple[..., -1])
+        ciwp, clwp = _incloud_paths(inp)
+        from ..models.rrtmgp.scheme import rrtmgp_lw
+        out = rrtmgp_lw(inp.ple, play, inp.t, inp.tsinst, emis16,
+                        h2ovmr, o3vmr, inp.co2, inp.ch4, inp.n2o,
+                        jnp.full_like(inp.co2, 0.2095),
+                        inp.cfc11, inp.cfc12, inp.hcfc22,
+                        inp.fcld, ciwp, clwp, inp.ri, inp.rl,
+                        zm, inp.lats, doy,
+                        iceflag=config.iceflag_lw,
+                        liqflag=config.liqflag_lw,
+                        inhm=config.condensate_inhomogeneity,
+                        dudts=config.ts_derivs)
+        net = out["flux_dn"] - out["flux_up"]
+        dfdts = -out["duflx_dts"] if config.ts_derivs \
+            else jnp.zeros_like(net)
+        sfcem = -(out["flux_up"][:, -1]
+                  - out["flux_dn"][:, -1] * (1.0 - inp.emis))
+        zb = jnp.zeros((ncol, 16), net.dtype)
+        return IrradState(
+            flx=net, flc=out["flux_dn_clr"] - out["flux_up_clr"],
+            flxu=out["flux_up"], flxd=out["flux_dn"],
+            dfdts=dfdts, sfcem=sfcem, ts=inp.tsinst,
+            olrb=out["olrb"], dolrb_dts=zb)
 
     ncol = inp.t.shape[0]
     emis16 = jnp.broadcast_to(inp.emis[:, None], (ncol, 16))
