@@ -83,8 +83,9 @@ def _gen_max_ran_mask(play, zm, alat, doy, cldf, ngpt, inhm):
     cld_mask = jnp.swapaxes(urand < cfx, 1, 2)     # [ncol, nlay, ngpt]
     cld_mask = cld_mask & (cldf > 0.0)[:, :, None]
     # condensate scaling (sigma_qcw by cloud fraction, :5268-5276)
-    sigma = jnp.where(cfx > 0.99, 0.5, jnp.where(cfx > 0.9, 0.71, 1.0))
-    zcw = zcw_lookup(uc, jnp.broadcast_to(sigma, uc.shape), inhm)
+    from ...ops.mcica import _sigma_class, zcw_lookup_class
+    sigcls = jnp.broadcast_to(_sigma_class(cfx), uc.shape)
+    zcw = zcw_lookup_class(uc, sigcls, inhm)
     zcw = jnp.swapaxes(zcw, 1, 2)
     return cld_mask, jnp.where(cld_mask, zcw, 0.0)
 

@@ -21,10 +21,11 @@ contract that POPULATION statistics are what matter, cloud_subcol_gen.F90:24-31)
 Vertical ordering: inputs are TOA-at-index-0 (GEOS convention).
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..tables import load
@@ -92,13 +93,89 @@ def _correlate(cdf, keepmask):
     nearest layer above with keepmask=True (layer 0 always keeps its own).
 
     cdf, keepmask: [..., nsub, nlay]. Returns correlated cdf.
+
+    TPU note: formulated as an associative forward-fill scan over
+    (value, filled) pairs — log2(nlay) vectorized selects. The equivalent
+    anchor-index + take_along_axis formulation costs a [.., nsub, nlay]
+    elementwise gather, ~12x slower on TPU (tools/profiling/mcica_bisect.py).
     """
-    nlay = cdf.shape[-1]
-    idx = jnp.arange(nlay)
     keep = keepmask.at[..., 0].set(True)
-    anchor = lax.associative_scan(
-        jnp.maximum, jnp.where(keep, idx, -1), axis=-1)
-    return jnp.take_along_axis(cdf, anchor, axis=-1)
+
+    def combine(a, b):
+        va, ka = a
+        vb, kb = b
+        return jnp.where(kb, vb, va), ka | kb
+
+    filled, _ = lax.associative_scan(combine, (cdf, keep), axis=-1)
+    return filled
+
+
+def _sigma_class(cldfrac):
+    """Static sigma_qcw class: 0 -> 0.5 (cf>0.99), 1 -> 0.71 (cf>0.9),
+    2 -> 1.0 (cloud_subcol_gen.F90 condensate sigma thresholds)."""
+    return ((cldfrac <= 0.99).astype(jnp.int32)
+            + (cldfrac <= 0.9).astype(jnp.int32))
+
+
+@lru_cache(maxsize=None)
+def _zcw_class_table(inhm):
+    """Two-level lookup table for the 3 sigma_qcw classes {0.5, 0.71, 1.0}.
+
+    Returns a (96, 64) float32 array T2 where, for combined index
+    j = class*1024 + (ind1-1) decomposed as j = 32a + b:
+    T2[a, 2b]   = xcw column value at ind1   (bilinear in sigma already)
+    T2[a, 2b+1] = xcw column value at ind1+1
+    """
+    tab = np.asarray(load("chou_xcw_inhomogeneity")[
+        "xcw_beta" if inhm == 1 else "xcw_gamma"], np.float64)
+    n1, n2 = tab.shape                      # (1000, 140)
+    cols = []
+    for s in (0.5, 0.71, 1.0):
+        r2 = 40.0 * s - 3.0
+        j = int(min(max(int(r2), 1), n2 - 1))
+        f2 = r2 - j
+        cols.append((1.0 - f2) * tab[:, j - 1] + f2 * tab[:, j])
+    c = np.stack(cols, 0).astype(np.float32)            # (3, 1000)
+    lo = np.zeros((3, 1024), np.float32)
+    hi = np.zeros((3, 1024), np.float32)
+    lo[:, :n1] = c
+    hi[:, :n1 - 1] = c[:, 1:]
+    t2 = np.zeros((96, 32, 2), np.float32)
+    t2[..., 0] = lo.reshape(96, 32)
+    t2[..., 1] = hi.reshape(96, 32)
+    return t2.reshape(96, 64)
+
+
+def zcw_lookup_class(cdf, sigcls, inhm):
+    """Condensate scaling factor for the 3 static sigma_qcw classes.
+
+    Same numerics as zcw_lookup but with the elementwise table gather
+    replaced by a two-level one-hot contraction: a [.., 96] one-hot MXU
+    matmul fetches a 32-entry sub-block (as interleaved lo/hi pairs), and
+    a 32-wide masked sum selects within it. ~30x faster than the gather
+    on TPU for McICA-sized index arrays.
+
+    cdf: [...] uniform samples; sigcls: [...] int32 in {0,1,2}
+    (see _sigma_class); inhm static.
+    """
+    if inhm == 0:
+        return jnp.ones_like(cdf)
+    t2 = jnp.asarray(_zcw_class_table(inhm))
+    n1 = 1000
+    rind1 = cdf * (n1 - 1) + 1.0
+    ind1 = jnp.clip(jnp.floor(rind1).astype(jnp.int32), 1, n1 - 1)
+    f1 = rind1 - ind1.astype(cdf.dtype)
+    j = sigcls * 1024 + (ind1 - 1)
+    a = j >> 5
+    b = j & 31
+    ahot = (a[..., None] == jnp.arange(96, dtype=jnp.int32)).astype(cdf.dtype)
+    u = lax.dot_general(ahot, t2, (((ahot.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+    u = u.reshape(u.shape[:-1] + (32, 2)).astype(cdf.dtype)
+    bhot = (b[..., None] == jnp.arange(32, dtype=jnp.int32)).astype(cdf.dtype)
+    val = u[..., 0] * (1.0 - f1)[..., None] + u[..., 1] * f1[..., None]
+    return jnp.sum(bhot * val, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("nsubcol", "inhm", "seed_order"))
@@ -135,8 +212,7 @@ def generate_stochastic_clouds(zmid, alat, doy, play, cldfrac, ciwp, clwp,
     rcorr = jnp.concatenate(
         [jnp.zeros_like(zmid[:, :1]), jnp.exp(-dz / rdl[:, None])], axis=1)
 
-    sigma_qcw = jnp.where(cldfrac > 0.99, 0.5,
-                          jnp.where(cldfrac > 0.9, 0.71, 1.0)).astype(dtype)
+    sigcls = _sigma_class(cldfrac)
 
     def column(play_c, cldf_c, ciwp_c, clwp_c, alpha_c, rcorr_c, sig_c):
         key = state_seed_key(play_c, seed_order)
@@ -152,7 +228,7 @@ def generate_stochastic_clouds(zmid, alat, doy, play, cldfrac, ciwp, clwp,
             cdf2b = jax.random.uniform(k3, shape, dtype)
             cdf3 = jax.random.uniform(k4, shape, dtype)
             cdf3 = _correlate(cdf3, cdf2b >= rcorr_c[None, :])
-            zcw = zcw_lookup(cdf3, sig_c[None, :], inhm)
+            zcw = zcw_lookup_class(cdf3, sig_c[None, :], inhm)
         else:
             zcw = jnp.ones(shape, dtype)
 
@@ -164,7 +240,7 @@ def generate_stochastic_clouds(zmid, alat, doy, play, cldfrac, ciwp, clwp,
         return cloudy, ciwp_s, clwp_s
 
     return jax.vmap(column)(play, cldfrac, ciwp, clwp, alpha, rcorr,
-                            sigma_qcw)
+                            sigcls)
 
 
 def clear_counts_three_band(cldy, cloud_mh, cloud_lm):
