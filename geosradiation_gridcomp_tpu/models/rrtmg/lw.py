@@ -16,6 +16,7 @@ from ...constants import GRAV, RGAS, AMD
 from ...ops.mcica import generate_stochastic_clouds, clear_counts_three_band
 from .cldprmc_lw import cldprmc_lw
 from .rtrnmc import rtrnmc
+from .rtrnmc_pallas import rtrnmc_fast
 from .setcoef_lw import setcoef_lw
 from .taumol_lw import taumol_lw
 from .tables_lw import NGPTLW
@@ -99,8 +100,11 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
 
     taug, pfracs = taumol_lw(coefs, taua)
 
-    out = rtrnmc(emis, taug, pfracs, cloudy, taucmc,
-                 coefs.planklay, coefs.planklev, coefs.plankbnd,
-                 coefs.dplankbnd_dts, coefs.pwvcm, dudts=dudts)
+    # Pallas fused sweeps on TPU; the jnp scan (the oracle) elsewhere -
+    # interpret-mode Pallas is far too slow for the CPU CI mesh
+    rt = rtrnmc_fast if jax.default_backend() == "tpu" else rtrnmc
+    out = rt(emis, taug, pfracs, cloudy, taucmc,
+             coefs.planklay, coefs.planklev, coefs.plankbnd,
+             coefs.dplankbnd_dts, coefs.pwvcm, dudts=dudts)
     out["clear_counts"] = counts
     return out

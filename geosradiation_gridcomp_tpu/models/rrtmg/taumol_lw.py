@@ -12,6 +12,9 @@ offsets of the 0.125/0.875 ternary interpolation, rrtmg_lw_taumol.F90:
 tables_lw.py.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -202,7 +205,7 @@ def _ind1_upper(coefs, nspb):
     return (jnp.maximum(coefs.jp - 12, 1) * 5 + (coefs.jt1 - 1)) * nspb
 
 
-def taumol_lw(coefs, taua=None):
+def taumol_lw_ref(coefs, taua=None):
     """Compute gas optical depth and Planck fractions for all 140 g-points.
 
     coefs: LWCoefs from setcoef_lw.
@@ -618,3 +621,503 @@ def _generic_band(band, coefs, tb, chi, chi_np):
         phi = jnp.broadcast_to(tb["fracrefb"], thi.shape)
 
     return tlo, plo, thi, phi
+
+
+# ===========================================================================
+# TPU-fast taumol: 4 shared row-gathers for all 16 bands.
+#
+# Rationale (measured on TPU v5e): XLA lowers a k-table row-gather at
+# ~1.4-2.4 cycles per gathered 128-lane tile, independent of row width, so
+# the per-band engine above (taumol_lw_ref, ~60 narrow gathered rows per
+# column-layer) is gather-bound. This version packs every band's eta block
+# for a (regime, jp', jt') table cell into one wide row
+# (tables_lw.lw_gather_tables_padded) and fetches the four cells the
+# interpolation touches - (jp,jt), (jp,jt+1), (jp+1,jt1), (jp+1,jt1+1),
+# with the troposphere/stratosphere regime folded into the row index - in
+# four gathers shared by ALL bands.
+#
+# Layout discipline (the part that actually buys the speed): every eta
+# plane sits in its own 128-lane section, so slicing plane e is
+# lane-aligned; per-band scalar weights become full-section lane vectors
+# through static 0/1 segment matmuls ([ncell, nband] @ [nband, 128] on the
+# MXU - exact, since each output lane receives exactly one product); and
+# band-ordered 140-g outputs are assembled with static scatter matmuls
+# instead of ragged lane concats. Without this, XLA's layout assignment
+# flips the gather outputs to cell-on-lane layouts at a cost of ~2 GB of
+# physical copies per gather (measured via compiled-HLO inspection).
+#
+# The eta interpolation (including the 0.125/0.875 straddle branches of
+# rrtmg_lw_taumol.F90:543-599) becomes masked per-eta-plane weights on the
+# VPU; self/foreign continua, flat 19-point minors, 9x19 eta minors and
+# Planck fractions use full-candidate masked sums. Matches taumol_lw_ref
+# to f32 summation-order roundoff.
+# ===========================================================================
+
+from .tables_lw import (lw_gather_tables_padded, band_vector, stack_sections,
+                        NGS_LW, SP2_BANDS, SS_BANDS, SP2_OFF, SS_OFF,
+                        SP2_W, SS_W, SPP, SSP, NROW_LOWER, NROWS)
+
+_E9 = np.arange(9)
+
+
+def _onehot_sum(tab, ind, frac, shape):
+    """sum_k [ (ind-1==k)(1-frac) + (ind==k) frac ] * tab[k]  -> [..., ng].
+
+    Masked-sum equivalent of _interp_ind: runs at VPU speed instead of
+    gather speed. tab: (K, ng) numpy/jnp; ind 1-based.
+    """
+    K = tab.shape[0]
+    acc = jnp.zeros(shape + (tab.shape[1],), jnp.float32)
+    i0 = ind - 1
+    for k in range(K):
+        w = jnp.where(i0 == k, 1.0 - frac, 0.0)
+        if k >= 1:
+            w = w + jnp.where(i0 == k - 1, frac, 0.0)
+        acc = acc + w[..., None] * tab[k]
+    return acc
+
+
+def _eta_weights_lower(sc, sp, js, fs):
+    """[..., 9] eta-plane weights replicating _tau_major_2sp's 3 branches,
+    with the speccomb multiplier folded in."""
+    d = _E9 - (js[..., None] - 1)            # e - (js-1)
+    p_lo = fs - 1.0
+    p4l = p_lo ** 4
+    fk0l, fk1l, fk2l = p4l, 1.0 - p_lo - 2.0 * p4l, p_lo + p4l
+    p_hi = -fs
+    p4h = p_hi ** 4
+    fk0h, fk1h, fk2h = p4h, 1.0 - p_hi - 2.0 * p4h, p_hi + p4h
+
+    def w3(a, b, c, off):
+        return (jnp.where(d == off, a[..., None], 0.0)
+                + jnp.where(d == off + 1, b[..., None], 0.0)
+                + jnp.where(d == off + 2, c[..., None], 0.0))
+
+    w_lo = w3(fk0l, fk1l, fk2l, 0)
+    w_hi = w3(fk2h, fk1h, fk0h, -1)
+    w_mid = (jnp.where(d == 0, (1.0 - fs)[..., None], 0.0)
+             + jnp.where(d == 1, fs[..., None], 0.0))
+    lo = (sp < 0.125)[..., None]
+    hi = (sp > 0.875)[..., None]
+    w = jnp.where(lo, w_lo, jnp.where(hi, w_hi, w_mid))
+    return sc[..., None] * w
+
+
+def _eta_weights_upper4(sc, js, fs):
+    """[..., 9] weights for the 5-point stratospheric eta axis (linear)."""
+    d = _E9 - (js[..., None] - 1)
+    w = (jnp.where(d == 0, (1.0 - fs)[..., None], 0.0)
+         + jnp.where(d == 1, fs[..., None], 0.0))
+    return sc[..., None] * w
+
+
+def _spec_pair(col1, col2, rat, mult):
+    sc = col1 + rat * col2
+    sp = jnp.minimum(col1 / sc, _ONEMINUS)
+    sm = mult * sp
+    js = 1 + jnp.floor(sm).astype(jnp.int32)
+    fs = sm - jnp.floor(sm)
+    return sc, sp, js, fs
+
+
+def _tent2(idx1b, frac, K, shape):
+    """[..., K] linear-interp tent weights at 1-based idx (2 nonzero)."""
+    d = jnp.arange(K) - (idx1b[..., None] - 1)
+    return (jnp.where(d == 0, (1.0 - frac)[..., None], 0.0)
+            + jnp.where(d == 1, frac[..., None], 0.0))
+
+
+def _seg_dot(w_stack, seg):
+    """[..., nsec] @ [nsec, W] static 0/1 segment matrix (exact: one
+    product per output lane)."""
+    return jax.lax.dot_general(
+        w_stack, seg, (((w_stack.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+# ---- static composition of the LW minor-gas tables (built once) ----
+
+@functools.lru_cache(maxsize=1)
+def _lw_static():
+    t = lw_tables()
+    chi_np = t["chi_mls"]
+    b7scale = np.ones(12, np.float32)
+    b7scale[5:11] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.855]
+    # flat 19-point minors: (band, table, factor key, regime)
+    flat = [
+        (1, t[1]["ka_mn2"], "scalen2", "lo"),
+        (1, t[1]["kb_mn2"], "scalen2", "hi"),
+        (6, t[6]["ka_mco2"], "adj_b6", "lo"),
+        (8, t[8]["ka_mco2"], "adj_b8", "lo"),
+        (8, t[8]["ka_mo3"], "colo3", "lo"),
+        (8, t[8]["ka_mn2o"], "coln2o", "lo"),
+        (8, t[8]["kb_mco2"], "adj_b8", "hi"),
+        (8, t[8]["kb_mn2o"], "coln2o", "hi"),
+        (11, t[11]["ka_mo2"], "o2fac", "lo"),
+        (11, t[11]["kb_mo2"], "o2fac", "hi"),
+        (7, t[7]["kb_mco2"] * b7scale, "adj_b7u", "hi"),
+        (9, t[9]["kb_mn2o"], "adjn2o", "hi"),
+        (13, t[13]["kb_mo3"], "colo3", "hi"),
+    ]
+    m19, seg_m, scat_m = stack_sections([(b, tab) for b, tab, _, _ in flat])
+    flat_keys = [(k, r) for _, _, k, r in flat]
+
+    # eta minors, lower (9 eta x 19 T): (band, table, pair, level, factor)
+    em = [
+        (3, t[3]["ka_mn2o"], "hc", 3, "adjn2o"),
+        (5, t[5]["ka_mo3"], "hc", 7, "colo3"),
+        (7, t[7]["ka_mco2"], "ho", 3, "adj_b7l"),
+        (9, t[9]["ka_mn2o"], "hm", 3, "adjn2o"),
+        (13, t[13]["ka_mco2"], "hn", 1, "adj_b13"),
+        (13, t[13]["ka_mco"], "hn", 3, "colco"),
+        (15, t[15]["ka_mn2"], "nc", 1, "n2fac15"),
+    ]
+    em_stack = np.concatenate([tab for _, tab, _, _, _ in em], axis=-1)
+    _, seg_em, scat_em = stack_sections([(b, tab[0]) for b, tab, _, _, _
+                                         in em])
+    em_meta = [(b, pk, lvl, fk) for b, _, pk, lvl, fk in em]
+
+    # constant Planck fractions (bands without eta interpolation)
+    pconst_lo = band_vector({b: t[b]["fracrefa"] for b in SS_BANDS})
+    hi_map = {b: t[b]["fracrefb"]
+              for b in (1, 2, 7, 8, 9, 10, 11, 13, 14, 16)}
+    hi_map[6] = t[6]["fracrefa"]
+    pconst_hi = band_vector(hi_map)
+
+    # Planck eta stacks: lower (9 sp2 bands, 9 cand), upper (b3-5, 5 cand)
+    p9 = np.zeros((9, SPP), np.float32)
+    for b in SP2_BANDS:
+        p9[:, SP2_OFF[b]:SP2_OFF[b] + NG_LW[b - 1]] = t[b]["fracrefa"].T \
+            if t[b]["fracrefa"].shape == (NG_LW[b - 1], 9) \
+            else t[b]["fracrefa"]
+    p5 = np.zeros((5, SPP), np.float32)
+    for b in (3, 4, 5):
+        p5[:, SP2_OFF[b]:SP2_OFF[b] + NG_LW[b - 1]] = t[b]["fracrefb"]
+
+    # halocarbon static vectors
+    ccl4 = band_vector({5: t[5]["ccl4"]})
+    cfc11 = band_vector({6: t[6]["cfc11adj"]})
+    cfc12 = band_vector({6: t[6]["cfc12"]})
+    cfc12_8 = band_vector({8: t[8]["cfc12"]})
+    cfc22_8 = band_vector({8: t[8]["cfc22adj"]})
+    segb1 = band_vector({1: 1.0})
+    segb2 = band_vector({2: 1.0})
+    uhf = band_vector({b: 1.0 for b in (1, 2, 3, 10, 11)})
+    b3u = t[3]["kb_mn2o"]                      # (5, 19, 16)
+    scat_b3 = np.zeros((16, NGPTLW), np.float32)
+    scat_b3[:, NGS_LW[2]:NGS_LW[3]] = np.eye(16, dtype=np.float32)
+    return dict(chi_np=chi_np, m19=m19, seg_m=seg_m, scat_m=scat_m,
+                flat_keys=flat_keys, em_stack=em_stack, seg_em=seg_em,
+                scat_em=scat_em, em_meta=em_meta, pconst_lo=pconst_lo,
+                pconst_hi=pconst_hi, p9=p9, p5=p5, ccl4=ccl4, cfc11=cfc11,
+                cfc12=cfc12, cfc12_8=cfc12_8, cfc22_8=cfc22_8, segb1=segb1,
+                segb2=segb2, uhf=uhf, b3u=b3u, scat_b3=scat_b3)
+
+
+_PAIRS_LOWER = {"hc": ("h2o", "co2"), "ho": ("h2o", "o3"),
+                "hm": ("h2o", "ch4"), "hn": ("h2o", "n2o"),
+                "nc": ("n2o", "co2")}
+_LOWER_PAIR = {3: "hc", 4: "hc", 5: "hc", 7: "ho", 9: "hm",
+               12: "hc", 13: "hn", 15: "nc", 16: "hm"}
+_UPPER_KIND = {3: ("hcu", None), 4: ("ocu", None), 5: ("ocu", None),
+               7: (None, "o3"), 9: (None, "ch4"), 12: (None, None),
+               13: (None, None), 15: (None, None), 16: (None, "ch4")}
+_PLANCK_LO = {3: ("hc", 9), 4: ("hc", 11), 5: ("hc", 5), 7: ("ho", 3),
+              9: ("hm", 9), 12: ("hc", 10), 13: ("hn", 5), 15: ("nc", 1),
+              16: ("hm", 6)}
+_PLANCK_UP = {3: (("h2o", "co2"), 13), 4: (("o3", "co2"), 13),
+              5: (("o3", "co2"), 43)}
+
+
+def taumol_lw(coefs, taua=None, col_chunk=1_200_000):
+    """Gas optical depth + Planck fractions for all 140 g-points (fast
+    path; see the banner comment above for the TPU layout rationale).
+    Same contract as taumol_lw_ref (rrtmg_lw_taumol.F90:158-3149).
+
+    Columns are processed in chunks of col_chunk via lax.map: the four
+    wide gather temporaries are ~2.7 GB each at ncol=8192 and chunking
+    keeps peak HBM bounded without changing per-cell arithmetic.
+    """
+    # flatten (ncol, nlay) to one cell axis: 2-D shapes keep the gather
+    # outputs and the segment-matmul outputs in the same {1,0} layout
+    # (3-D mixes {2,1,0} gathers with {2,0,1} dots and XLA inserts ~2.7 GB
+    # layout copies per gather - measured)
+    if coefs.jp.ndim == 2:
+        ncol, nlay = coefs.jp.shape
+
+        def fl(x):
+            if hasattr(x, "ndim") and x.ndim >= 2                     and x.shape[:2] == (ncol, nlay):
+                return x.reshape((ncol * nlay,) + x.shape[2:])
+            return x
+
+        tg, pf = taumol_lw(jax.tree_util.tree_map(fl, coefs),
+                           None if taua is None else fl(taua),
+                           col_chunk=col_chunk)
+        return (tg.reshape(ncol, nlay, -1), pf.reshape(ncol, nlay, -1))
+
+    ncells = coefs.jp.shape[0]
+    if ncells > col_chunk:
+        csz = col_chunk
+        npad = (-ncells) % csz
+        nchunk = (ncells + npad) // csz
+
+        def prep(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ncells:
+                xp = jnp.pad(x, [(0, npad)] + [(0, 0)] * (x.ndim - 1),
+                             mode="edge") if npad else x
+                return xp.reshape((nchunk, csz) + x.shape[1:])
+            return x
+
+        cfc = jax.tree_util.tree_map(prep, coefs)
+        tac = None if taua is None else prep(taua)
+
+        def one(args):
+            cf, ta = args
+            return _taumol_lw_impl(cf, ta)
+
+        tg, pf = jax.lax.map(one, (cfc, tac))
+        tg = tg.reshape((nchunk * csz,) + tg.shape[2:])[:ncells]
+        pf = pf.reshape((nchunk * csz,) + pf.shape[2:])[:ncells]
+        return tg, pf
+    return _taumol_lw_impl(coefs, taua)
+
+
+def _taumol_lw_impl(coefs, taua=None):
+    gt = lw_gather_tables_padded()
+    st = _lw_static()
+    big = jnp.asarray(gt["big"])
+    seg_sp2 = jnp.asarray(gt["seg_sp2"])
+    seg_ss = jnp.asarray(gt["seg_ss"])
+    shape = coefs.jp.shape
+    lower = coefs.lower
+    low1 = lower[..., None]
+    f32 = jnp.float32
+    chi_np = st["chi_np"]
+
+    # ---- chi_mls rows at jp / jp+1 via one-hot contraction ----
+    chiT = jnp.asarray(chi_np.T)               # (59, 7)
+    jp = coefs.jp
+    k59 = jnp.arange(59)
+    chi_a = _seg_dot((jp[..., None] - 1 == k59).astype(f32), chiT)
+    chi_b = _seg_dot((jp[..., None] == k59).astype(f32), chiT)
+
+    def rat(g1, g2, b):
+        c = chi_b if b else chi_a
+        return c[..., _CHI[g1]] / c[..., _CHI[g2]]
+
+    def col(gas):
+        return _col(coefs, gas)
+
+    def adjcol(gas, thresh, base, expo, fixed_ref=None):
+        colgas = col(gas)
+        ref = chi_b[..., _CHI[gas]] if fixed_ref is None \
+            else jnp.full_like(colgas, fixed_ref)
+        ratg = 1.0e20 * (colgas / coefs.coldry) / ref
+        adjfac = base + jnp.maximum(ratg - base, 1e-12) ** expo
+        adj = adjfac * ref * coefs.coldry * 1.0e-20
+        return jnp.where(ratg > thresh, adj, colgas)
+
+    # ---- per-pair eta weights (speccomb folded) ----
+    weL = {}
+    for key, (g1, g2) in _PAIRS_LOWER.items():
+        sc0, sp0, js0, fs0 = _spec_pair(col(g1), col(g2),
+                                        rat(g1, g2, False), 8.0)
+        sc1, sp1, js1, fs1 = _spec_pair(col(g1), col(g2),
+                                        rat(g1, g2, True), 8.0)
+        weL[key] = (_eta_weights_lower(sc0, sp0, js0, fs0),
+                    _eta_weights_lower(sc1, sp1, js1, fs1))
+    weU = {}
+    for key, (g1, g2) in (("hcu", ("h2o", "co2")), ("ocu", ("o3", "co2"))):
+        sc0, _, js0, fs0 = _spec_pair(col(g1), col(g2),
+                                      rat(g1, g2, False), 4.0)
+        sc1, _, js1, fs1 = _spec_pair(col(g1), col(g2),
+                                      rat(g1, g2, True), 4.0)
+        weU[key] = (_eta_weights_upper4(sc0, js0, fs0),
+                    _eta_weights_upper4(sc1, js1, fs1))
+    e0 = (jnp.asarray(_E9) == 0).astype(f32)
+    weU_single = {"o3": col("o3")[..., None] * e0,
+                  "ch4": col("ch4")[..., None] * e0}
+    zero9 = jnp.zeros(shape + (9,), f32)
+
+    wsel = {}
+    for b in SP2_BANDS:
+        wl0, wl1 = weL[_LOWER_PAIR[b]]
+        uk, us = _UPPER_KIND[b]
+        if uk is not None:
+            wu0, wu1 = weU[uk]
+        elif us is not None:
+            wu0 = wu1 = weU_single[us]
+        else:
+            wu0 = wu1 = zero9
+        wsel[b] = (jnp.where(low1, wl0, wu0), jnp.where(low1, wl1, wu1))
+
+    # ---- the four shared row-gathers over the padded table ----
+    jt0 = coefs.jt - 1
+    jt10 = coefs.jt1 - 1
+    rbase0 = jnp.where(lower, 5 * (jp - 1),
+                       NROW_LOWER + 5 * jnp.clip(jp - 13, 0, 46)) + jt0
+    rbase1 = jnp.where(lower, 5 * jnp.clip(jp, 1, 13),
+                       NROW_LOWER + 5 * jnp.clip(jp - 12, 1, 46)) + jt10
+    G0 = big[jnp.clip(rbase0, 0, NROWS - 1)]          # [..., 1216]
+    G1 = big[jnp.clip(rbase0 + 1, 0, NROWS - 1)]
+    G2 = big[jnp.clip(rbase1, 0, NROWS - 1)]
+    G3 = big[jnp.clip(rbase1 + 1, 0, NROWS - 1)]
+
+    f00 = coefs.fac00[..., None]
+    f10 = coefs.fac10[..., None]
+    f01 = coefs.fac01[..., None]
+    f11 = coefs.fac11[..., None]
+
+    acc2 = jnp.zeros(shape + (SPP,), f32)
+    for e in range(9):
+        w0 = _seg_dot(jnp.stack([wsel[b][0][..., e] for b in SP2_BANDS],
+                                axis=-1), seg_sp2)
+        w1 = _seg_dot(jnp.stack([wsel[b][1][..., e] for b in SP2_BANDS],
+                                axis=-1), seg_sp2)
+        sl = slice(e * SPP, (e + 1) * SPP)
+        acc2 = acc2 + w0 * (f00 * G0[..., sl] + f10 * G1[..., sl]) \
+            + w1 * (f01 * G2[..., sl] + f11 * G3[..., sl])
+
+    # single-key section: column amount per band, regime-selected
+    ss_sl = slice(9 * SPP, 9 * SPP + SSP)
+    colgas_ss = {1: ("h2o", "h2o"), 2: ("h2o", "h2o"), 6: ("h2o", "h2o"),
+                 8: ("h2o", "o3"), 10: ("h2o", "h2o"), 11: ("h2o", "h2o"),
+                 14: ("co2", "co2")}
+    colvec = _seg_dot(jnp.stack(
+        [jnp.where(lower, col(colgas_ss[b][0]), col(colgas_ss[b][1]))
+         for b in SS_BANDS], axis=-1), seg_ss)
+    acc_ss = colvec * (f00 * G0[..., ss_sl] + f10 * G1[..., ss_sl]
+                       + f01 * G2[..., ss_sl] + f11 * G3[..., ss_sl])
+
+    scat_sp2 = jnp.asarray(gt["scat_sp2"])
+    scat_ss = jnp.asarray(gt["scat_ss"])
+    taug = _seg_dot(acc2, scat_sp2) + _seg_dot(acc_ss, scat_ss)
+
+    # ---- self/foreign continua over all 140 g at once ----
+    taug = taug + coefs.selffac[..., None] * _onehot_sum(
+        gt["self10"], coefs.indself, coefs.selffrac, shape)
+    taufor = coefs.forfac[..., None] * _onehot_sum(
+        gt["for4"], coefs.indfor, coefs.forfrac, shape)
+    taug = taug + taufor * jnp.where(low1, 1.0, jnp.asarray(st["uhf"]))
+
+    # ---- flat 19-point minors (masked sum + segment factors) ----
+    lo_f = lower.astype(f32)
+    hi_f = 1.0 - lo_f
+    factors = {
+        "scalen2": coefs.colbrd * coefs.scaleminorn2,
+        "adj_b6": adjcol("co2", 3.0, 2.0, 0.77),
+        "adj_b8": adjcol("co2", 3.0, 2.0, 0.65),
+        "adj_b7u": adjcol("co2", 3.0, 2.0, 0.79),
+        "adj_b7l": adjcol("co2", 3.0, 3.0, 0.79),
+        "adj_b13": adjcol("co2", 3.0, 2.0, 0.68, fixed_ref=3.55e-4),
+        "adjn2o": adjcol("n2o", 1.5, 0.5, 0.65),
+        "colo3": coefs.colo3, "coln2o": coefs.coln2o, "colco": coefs.colco,
+        "o2fac": coefs.colo2 * coefs.scaleminor,
+        "n2fac15": coefs.colbrd * coefs.scaleminor,
+    }
+    fac_stack = jnp.stack(
+        [factors[k] * (lo_f if r == "lo" else hi_f)
+         for k, r in st["flat_keys"]], axis=-1)
+    facvec = _seg_dot(fac_stack, jnp.asarray(st["seg_m"]))
+    m_all = _onehot_sum(st["m19"], coefs.indminor, coefs.minorfrac, shape)
+    taug = taug + _seg_dot(m_all * facvec, jnp.asarray(st["scat_m"]))
+
+    # ---- 9x19 eta minors: stacked masked double interpolation ----
+    def em_tent(pk, lvl, mult=8.0, K=9):
+        g1, g2 = _PAIRS_LOWER[pk] if mult == 8.0 else ("h2o", "co2")
+        rr = float(chi_np[_CHI[g1], lvl - 1] / chi_np[_CHI[g2], lvl - 1])
+        scm = col(g1) + rr * col(g2)
+        spm = jnp.minimum(col(g1) / scm, _ONEMINUS)
+        smm = mult * spm
+        jm = 1 + jnp.floor(smm).astype(jnp.int32)
+        fm = smm - jnp.floor(smm)
+        return _tent2(jm, fm, K, shape)
+
+    em_we = [em_tent(pk, lvl) * (factors[fk] * lo_f)[..., None]
+             for _, pk, lvl, fk in st["em_meta"]]     # each [..., 9]
+    em_stack = st["em_stack"]                          # (9, 19, 66)
+    seg_em = jnp.asarray(st["seg_em"])
+    acc_em = jnp.zeros(shape + (em_stack.shape[-1],), f32)
+    for e in range(9):
+        u_e = _onehot_sum(em_stack[e], coefs.indminor, coefs.minorfrac,
+                          shape)
+        wevec = _seg_dot(jnp.stack([w[..., e] for w in em_we], axis=-1),
+                         seg_em)
+        acc_em = acc_em + u_e * wevec
+    taug = taug + _seg_dot(acc_em, jnp.asarray(st["scat_em"]))
+
+    # band-3 stratospheric N2O minor (5-point eta)
+    we3u = em_tent("hc", 13, mult=4.0, K=5) \
+        * (factors["adjn2o"] * hi_f)[..., None]
+    acc3u = jnp.zeros(shape + (16,), f32)
+    for e in range(5):
+        u_e = _onehot_sum(st["b3u"][e], coefs.indminor, coefs.minorfrac,
+                          shape)
+        acc3u = acc3u + we3u[..., e:e + 1] * u_e
+    taug = taug + _seg_dot(acc3u, jnp.asarray(st["scat_b3"]))
+
+    # ---- halocarbons (regime-independent static vectors) ----
+    taug = taug + coefs.colccl4[..., None] * jnp.asarray(st["ccl4"]) \
+        + coefs.colcfc11[..., None] * jnp.asarray(st["cfc11"]) \
+        + coefs.colcfc12[..., None] * (jnp.asarray(st["cfc12"])
+                                       + jnp.asarray(st["cfc12_8"])) \
+        + coefs.colcfc22[..., None] * jnp.asarray(st["cfc22_8"])
+
+    # ---- band 1/2 empirical pressure corrections (x everything) ----
+    corr1 = jnp.where(lower,
+                      jnp.where(coefs.pavel < 250.0,
+                                1.0 - 0.15 * (250.0 - coefs.pavel) / 154.4,
+                                1.0),
+                      1.0 - 0.15 * (coefs.pavel / 95.6))
+    corr2 = jnp.where(lower,
+                      1.0 - 0.05 * (coefs.pavel - 100.0) / 900.0, 1.0)
+    corr140 = 1.0 + (corr1 - 1.0)[..., None] * jnp.asarray(st["segb1"]) \
+        + (corr2 - 1.0)[..., None] * jnp.asarray(st["segb2"])
+    taug = taug * corr140
+
+    # ---- Planck fractions ----
+    p9 = st["p9"]
+    acc_p = jnp.zeros(shape + (SPP,), f32)
+    wpl = {}
+    for b, (pk, lvl) in _PLANCK_LO.items():
+        g1, g2 = _PAIRS_LOWER[pk]
+        rr = float(chi_np[_CHI[g1], lvl - 1] / chi_np[_CHI[g2], lvl - 1])
+        scp = col(g1) + rr * col(g2)
+        spp_ = jnp.minimum(col(g1) / scp, _ONEMINUS)
+        smp = 8.0 * spp_
+        jpl = 1 + jnp.floor(smp).astype(jnp.int32)
+        fpl = smp - jnp.floor(smp)
+        wpl[b] = _tent2(jpl, fpl, 9, shape)
+    for k in range(9):
+        wk = _seg_dot(jnp.stack([wpl[b][..., k] for b in SP2_BANDS],
+                                axis=-1), seg_sp2)
+        acc_p = acc_p + wk * p9[k]
+    plo140 = _seg_dot(acc_p, scat_sp2) + jnp.asarray(st["pconst_lo"])
+
+    p5 = st["p5"]
+    acc_p5 = jnp.zeros(shape + (SPP,), f32)
+    wpl5 = {}
+    for b, ((g1, g2), lvl) in _PLANCK_UP.items():
+        rr = float(chi_np[_CHI[g1], lvl - 1] / chi_np[_CHI[g2], lvl - 1])
+        scp = col(g1) + rr * col(g2)
+        spp_ = jnp.minimum(col(g1) / scp, _ONEMINUS)
+        smp = 4.0 * spp_
+        jpl = 1 + jnp.floor(smp).astype(jnp.int32)
+        fpl = smp - jnp.floor(smp)
+        wpl5[b] = _tent2(jpl, fpl, 5, shape)
+    seg_up = jnp.asarray(np.stack([np.asarray(gt["seg_sp2"])[i]
+                                   for i, b in enumerate(SP2_BANDS)
+                                   if b in (3, 4, 5)]))
+    for k in range(5):
+        wk = _seg_dot(jnp.stack([wpl5[b][..., k] for b in (3, 4, 5)],
+                                axis=-1), seg_up)
+        acc_p5 = acc_p5 + wk * p5[k]
+    phi140 = _seg_dot(acc_p5, scat_sp2) + jnp.asarray(st["pconst_hi"])
+
+    pfracs = jnp.where(low1, plo140, phi140)
+
+    if taua is not None:
+        ngb = np.repeat(np.arange(16), NG_LW)
+        taug = taug + taua[..., ngb]
+    return taug, pfracs
