@@ -178,10 +178,11 @@ def zcw_lookup_class(cdf, sigcls, inhm):
     return jnp.sum(bhot * val, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("nsubcol", "inhm", "seed_order"))
+@partial(jax.jit, static_argnames=("nsubcol", "inhm", "seed_order",
+                                   "col_block"))
 def generate_stochastic_clouds(zmid, alat, doy, play, cldfrac, ciwp, clwp,
                                cwp_tiny, *, nsubcol, inhm=1,
-                               seed_order=(0, 1, 2, 3)):
+                               seed_order=(0, 1, 2, 3), col_block=512):
     """Generate McICA subcolumns for a batch of gridcolumns.
 
     Args:
@@ -239,8 +240,19 @@ def generate_stochastic_clouds(zmid, alat, doy, play, cldfrac, ciwp, clwp,
         cloudy = cloudy & ((ciwp_s > 0.0) | (clwp_s > 0.0))
         return cloudy, ciwp_s, clwp_s
 
-    return jax.vmap(column)(play, cldfrac, ciwp, clwp, alpha, rcorr,
-                            sigcls)
+    args = (play, cldfrac, ciwp, clwp, alpha, rcorr, sigcls)
+    ncol = play.shape[0]
+    if col_block is None or ncol <= col_block or ncol % col_block != 0:
+        return jax.vmap(column)(*args)
+    # Chunk columns through lax.map so the zcw one-hot intermediates
+    # ([block, nsubcol, nlay, 64] and friends) stay bounded in HBM; at
+    # ncol=8192/nsubcol=140 the unchunked form needs >21 GB.
+    blocked = jax.tree_util.tree_map(
+        lambda x: x.reshape((ncol // col_block, col_block) + x.shape[1:]),
+        args)
+    out = lax.map(lambda a: jax.vmap(column)(*a), blocked)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((ncol,) + x.shape[2:]), out)
 
 
 def clear_counts_three_band(cldy, cloud_mh, cloud_lm):
