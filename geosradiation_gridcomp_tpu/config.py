@@ -61,6 +61,23 @@ class RadiationConfig:
     trace_gases: bool = True                # Chou LW `trace`
     ts_derivs: bool = True                  # LW dF/dTs Jacobians
 
+    # Lazy diagnostics (the reference's associated-pointer idiom: exports
+    # are computed only when a consumer requests them,
+    # GEOS_RadiationGridComp.F90:743-785). This static set feeds jit
+    # specialization: any token removed here is pruned from the compiled
+    # program. Fluxes/heating rates are always produced.
+    #   olrb      band OLR internals + Ts-advanced export
+    #   tbrb      band brightness temperatures (implies olrb)
+    #   band_sfc  band-resolved surface direct/diffuse SW fluxes
+    #   clear_counts  McICA clear-subcolumn cloud-fraction diagnostics
+    outputs: frozenset = frozenset(
+        {"olrb", "tbrb", "band_sfc", "clear_counts"})
+
+    def wants(self, name):
+        if name == "olrb":
+            return "olrb" in self.outputs or "tbrb" in self.outputs
+        return name in self.outputs
+
     def effective_scon(self):
         """TOA solar constant used for flux normalization. solar_constant=0
         selects the scheme-internal value (1368.22 Kurucz for isolvar=-1,

@@ -64,6 +64,13 @@ class AtmosInputs(NamedTuple):
     lons: jnp.ndarray       # [ncol] radians
 
 
+def _undef_cldfrc(ref):
+    """UNDEF-filled [ncol, 4] cloud-fraction diagnostic (scheme does not
+    produce McICA subcolumn counts, or the output is pruned by config)."""
+    from .diagnostics import UNDEF
+    return jnp.full((ref.shape[0], 4), UNDEF, ref.dtype)
+
+
 def _cwc_reff(inp):
     cwc = jnp.stack([inp.qi, inp.ql, inp.qr, inp.qs], axis=-1)
     reff = jnp.stack([inp.ri, inp.rl, inp.rr, inp.rs], axis=-1)
@@ -112,7 +119,8 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
             fdir_par_n=out["fdirpar"], fdif_par_n=out["fdifpar"],
             fdir_nir_n=out["fdirir"], fdif_nir_n=out["fdifir"],
             flx_sfc_band_n=out["flx_sfc_band"],
-            drband_n=out["drband"], dfband_n=out["dfband"])
+            drband_n=out["drband"], dfband_n=out["dfband"],
+            cldfrc=_undef_cldfrc(cosz))
 
     if config.sw_scheme == Scheme.RRTMGP:
         zm = mid_heights(play, inp.t, inp.ple[..., -1])
@@ -132,9 +140,12 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
         inv = jnp.where(cosz > 0.0, 1.0 / s0, 0.0)
         nv = lambda x: x * inv.reshape((-1,) + (1,) * (x.ndim - 1))
         zc = jnp.zeros_like(cosz)
-        zb = jnp.zeros(cosz.shape + (14,), out["bbfd"].dtype)
-        # band-resolved surface diagnostics stay on the RRTMG/Chou
-        # paths; the RRTMGP path exports broadband + direct only
+        # Band-resolved surface diagnostics are not produced by the
+        # RRTMGP path (broadband + direct only); requested band outputs
+        # are filled with the GEOS missing-data marker (MAPL_UNDEF) so a
+        # consumer sees "not available" rather than silent zeros.
+        from .diagnostics import UNDEF
+        zb = jnp.full(cosz.shape + (14,), UNDEF, out["bbfd"].dtype)
         sfc_dir = nv(out["bbfddir"][:, -1])
         sfc_dif = nv(out["bbfd"][:, -1]) - sfc_dir
         return SolarState(
@@ -144,7 +155,8 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
             fdir_uv_n=zc, fdif_uv_n=zc,
             fdir_par_n=sfc_dir, fdif_par_n=sfc_dif,
             fdir_nir_n=zc, fdif_nir_n=zc,
-            flx_sfc_band_n=zb, drband_n=zb, dfband_n=zb)
+            flx_sfc_band_n=zb, drband_n=zb, dfband_n=zb,
+            cldfrc=_undef_cldfrc(cosz))
 
     zm = mid_heights(play, inp.t, inp.ple[..., -1])
     ciwp, clwp = _incloud_paths(inp)
@@ -174,7 +186,9 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
         fdir_par_n=nv(out["parr"]), fdif_par_n=nv(out["parf"] - out["parr"]),
         fdir_nir_n=nv(out["nirr"]), fdif_nir_n=nv(out["nirf"] - out["nirr"]),
         flx_sfc_band_n=nv(out["fndsbnd"]),
-        drband_n=nv(out["drband"]), dfband_n=nv(out["dfband"]))
+        drband_n=nv(out["drband"]), dfband_n=nv(out["dfband"]),
+        cldfrc=(1.0 - out["clear_counts"].astype(out["bbfd"].dtype) / 112.0
+                if config.wants("clear_counts") else _undef_cldfrc(cosz)))
 
 
 def solar_update(state: SolarState, cosz_now, doy_now,
@@ -185,17 +199,23 @@ def solar_update(state: SolarState, cosz_now, doy_now,
     Returns dict of W/m^2 exports.
     """
     from .astronomy import earth_sun_factor
+    from .diagnostics import UNDEF
     sln = (config.effective_scon() * earth_sun_factor(doy_now)
            * jnp.maximum(cosz_now, 0.0))
-    sc = lambda x: x * sln.reshape((-1,) + (1,) * (x.ndim - 1))
-    return dict(
-        fsw=sc(state.flxn), fsc=sc(state.flcn),
-        fswu=sc(state.flxun), fscu=sc(state.flcun),
+    scv = lambda x: x * sln.reshape((-1,) + (1,) * (x.ndim - 1))
+    # preserve the missing-data marker through the rescale (band
+    # diagnostics are UNDEF under schemes that do not produce them)
+    sc = lambda x: jnp.where(x >= UNDEF, x, scv(x))
+    out = dict(
+        fsw=scv(state.flxn), fsc=scv(state.flcn),
+        fswu=scv(state.flxun), fscu=scv(state.flcun),
         drpar=sc(state.fdir_par_n), dfpar=sc(state.fdif_par_n),
         druvr=sc(state.fdir_uv_n), dfuvr=sc(state.fdif_uv_n),
-        drnir=sc(state.fdir_nir_n), dfnir=sc(state.fdif_nir_n),
-        flx_sfc_band=sc(state.flx_sfc_band_n),
-        drband=sc(state.drband_n), dfband=sc(state.dfband_n))
+        drnir=sc(state.fdir_nir_n), dfnir=sc(state.fdif_nir_n))
+    if config.wants("band_sfc"):
+        out.update(flx_sfc_band=sc(state.flx_sfc_band_n),
+                   drband=sc(state.drband_n), dfband=sc(state.dfband_n))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -249,11 +269,14 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
         sfcem = -(out["flux_up"][:, -1]
                   - out["flux_dn"][:, -1] * (1.0 - inp.emis))
         zb = jnp.zeros((ncol, 16), net.dtype)
+        wants_olrb = config.wants("olrb")
         return IrradState(
             flx=net, flc=out["flux_dn_clr"] - out["flux_up_clr"],
             flxu=out["flux_up"], flxd=out["flux_dn"],
             dfdts=dfdts, sfcem=sfcem, ts=inp.tsinst,
-            olrb=out["olrb"], dolrb_dts=zb)
+            olrb=out["olrb"] if wants_olrb else zb,
+            dolrb_dts=(out["dolrb_dts"]
+                       if config.ts_derivs and wants_olrb else zb))
 
     ncol = inp.t.shape[0]
     emis16 = jnp.broadcast_to(inp.emis[:, None], (ncol, 16))
@@ -277,32 +300,41 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
     sfcem = -(out["uflx"][:, -1]
               - out["dflx"][:, -1] * (1.0 - inp.emis))
     zb = jnp.zeros((ncol, 16), net.dtype)
+    wants_olrb = config.wants("olrb")
     return IrradState(
         flx=net, flc=out["dflxc"] - out["uflxc"],
         flxu=out["uflx"], flxd=out["dflx"],
         dfdts=dfdts, sfcem=sfcem, ts=inp.tsinst,
-        olrb=out["olrb"],
-        dolrb_dts=out.get("dolrb_dts", zb) if config.ts_derivs else zb)
+        olrb=out["olrb"] if wants_olrb else zb,
+        dolrb_dts=(out.get("dolrb_dts", zb)
+                   if config.ts_derivs and wants_olrb else zb))
 
 
-def irrad_update(state: IrradState, tsinst):
+def irrad_update(state: IrradState, tsinst, config: RadiationConfig = None):
     """Per-heartbeat Ts-linearized flux advance (Update_Flx,
     GEOS_IrradGridComp.F90:3684-4129): F = F_int + dF/dTs * (Ts - Ts_int).
 
-    Returns dict of W/m^2 exports (net downward convention).
+    Returns dict of W/m^2 exports (net downward convention). Band OLR /
+    brightness temperatures are lazy diagnostics: computed only when the
+    config's output set requests them (the reference allocates TBRB/OLRB
+    exports only when a consumer is connected,
+    GEOS_RadiationGridComp.F90:743-785).
     """
     delt = (tsinst - state.ts)[:, None]
     flx = state.flx + state.dfdts * delt
     olr = -(flx[:, 0])
     flns = -(flx[:, -1])
+    out = dict(flw=flx, flc=state.flc, olr=olr, flns=flns,
+               sfcem=state.sfcem + state.dfdts[:, -1] * delt[:, 0],
+               lws=-state.sfcem - state.dfdts[:, -1] * delt[:, 0])
     # Ts-advanced band OLR + brightness temperatures (TBRBbbRG exports,
     # GEOS_IrradGridComp.F90:3994-4017)
-    from .diagnostics import band_brightness_temperature
-    olrb = state.olrb + state.dolrb_dts * delt
-    return dict(flw=flx, flc=state.flc, olr=olr, flns=flns,
-                sfcem=state.sfcem + state.dfdts[:, -1] * delt[:, 0],
-                lws=-state.sfcem - state.dfdts[:, -1] * delt[:, 0],
-                olrb=olrb, tbrb=band_brightness_temperature(olrb))
+    if config is None or config.wants("olrb"):
+        out["olrb"] = olrb = state.olrb + state.dolrb_dts * delt
+        if config is None or config.wants("tbrb"):
+            from .diagnostics import band_brightness_temperature
+            out["tbrb"] = band_brightness_temperature(olrb)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -27,6 +27,9 @@ class SolarState(NamedTuple):
     flx_sfc_band_n: jnp.ndarray  # [ncol, nbands]
     drband_n: jnp.ndarray        # [ncol, nbands] surface direct per band
     dfband_n: jnp.ndarray        # [ncol, nbands] surface diffuse per band
+    cldfrc: jnp.ndarray          # [ncol, 4] McICA cloud fractions
+    #   (total/high/mid/low from clearCounts_threeBand,
+    #    cloud_subcol_gen.F90:611-769; UNDEF for non-McICA schemes)
 
 
 class IrradState(NamedTuple):

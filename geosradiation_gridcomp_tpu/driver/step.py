@@ -35,7 +35,7 @@ def radiation_update(solar_state, irrad_state, tsinst, lons, lats, ple,
     mu_now, _ = mean_cos_zenith(lons, lats, doy, utc_hours,
                                 config.run_dt / 3600.0)
     sw = solar_update(solar_state, mu_now, doy, config)
-    lw = irrad_update(irrad_state, tsinst)
+    lw = irrad_update(irrad_state, tsinst, config)
     dtdt = heating_rates(sw["fsw"], lw["flw"], ple)
     out = dict(sw=sw, lw=lw, dtdt=dtdt)
     out.update(surface_lw_linearization(irrad_state))

@@ -111,4 +111,5 @@ def rte_lw(taug, sources, sfc_emis, tau_cld=None, cld_mask=None,
     return dict(flux_up=out["uflx"], flux_dn=out["dflx"],
                 flux_up_clr=out["uflxc"], flux_dn_clr=out["dflxc"],
                 olrb=out["olrb"],
-                **({"duflx_dts": out["duflx_dts"]} if dudts else {}))
+                **({"duflx_dts": out["duflx_dts"],
+                    "dolrb_dts": out["dolrb_dts"]} if dudts else {}))
