@@ -71,6 +71,11 @@ def _undef_cldfrc(ref):
     return jnp.full((ref.shape[0], 4), UNDEF, ref.dtype)
 
 
+def _undef_like(x):
+    from .diagnostics import UNDEF
+    return jnp.full_like(x, UNDEF)
+
+
 def _cwc_reff(inp):
     cwc = jnp.stack([inp.qi, inp.ql, inp.qr, inp.qs], axis=-1)
     reff = jnp.stack([inp.ri, inp.rl, inp.rr, inp.rs], axis=-1)
@@ -101,7 +106,28 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
                   ict, icb, taua=None, ssaa=None, asya=None) -> SolarState:
     """Full SW RT; stores NORMALIZED internals (fractions of TOA insolation
     at the refresh-time zenith angle). cosz: [ncol] mean cosine over the
-    refresh interval (lit part)."""
+    refresh interval (lit part).
+
+    With aerosols present and "no_aerosol" in config.outputs, a second
+    aerosol-free pass fills the FSWNAN/FSCNAN/FSWUNAN-equivalent internals
+    (the optional no-aerosol SORADCORE pass,
+    GEOS_SolarGridComp.F90:3249-3259). Without aerosols the no-aerosol
+    internals alias the all-sky ones, as in the reference."""
+    st = _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
+                             taua, ssaa, asya)
+    if taua is None:
+        return st._replace(flxnan=st.flxn, flcnan=st.flcn,
+                           flxunan=st.flxun)
+    if config.wants("no_aerosol"):
+        na = _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
+                                 None, None, None)
+        return st._replace(flxnan=na.flxn, flcnan=na.flcn,
+                           flxunan=na.flxun)
+    return st
+
+
+def _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
+                        taua, ssaa, asya) -> SolarState:
     cwc, reff = _cwc_reff(inp)
     play, h2ovmr, o3vmr = _common_derived(inp)
 
@@ -120,7 +146,10 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
             fdir_nir_n=out["fdirir"], fdif_nir_n=out["fdifir"],
             flx_sfc_band_n=out["flx_sfc_band"],
             drband_n=out["drband"], dfband_n=out["dfband"],
-            cldfrc=_undef_cldfrc(cosz))
+            cldfrc=_undef_cldfrc(cosz),
+            flxnan=_undef_like(out["flx" if "flx" in out else "bbfd"]),
+            flcnan=_undef_like(out["flx" if "flx" in out else "bbfd"]),
+            flxunan=_undef_like(out["flx" if "flx" in out else "bbfd"]))
 
     if config.sw_scheme == Scheme.RRTMGP:
         zm = mid_heights(play, inp.t, inp.ple[..., -1])
@@ -156,7 +185,10 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
             fdir_par_n=sfc_dir, fdif_par_n=sfc_dif,
             fdir_nir_n=zc, fdif_nir_n=zc,
             flx_sfc_band_n=zb, drband_n=zb, dfband_n=zb,
-            cldfrc=_undef_cldfrc(cosz))
+            cldfrc=_undef_cldfrc(cosz),
+            flxnan=_undef_like(out["flx" if "flx" in out else "bbfd"]),
+            flcnan=_undef_like(out["flx" if "flx" in out else "bbfd"]),
+            flxunan=_undef_like(out["flx" if "flx" in out else "bbfd"]))
 
     zm = mid_heights(play, inp.t, inp.ple[..., -1])
     ciwp, clwp = _incloud_paths(inp)
@@ -188,7 +220,9 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
         flx_sfc_band_n=nv(out["fndsbnd"]),
         drband_n=nv(out["drband"]), dfband_n=nv(out["dfband"]),
         cldfrc=(1.0 - out["clear_counts"].astype(out["bbfd"].dtype) / 112.0
-                if config.wants("clear_counts") else _undef_cldfrc(cosz)))
+                if config.wants("clear_counts") else _undef_cldfrc(cosz)),
+        flxnan=_undef_like(out["bbfd"]), flcnan=_undef_like(out["bbfd"]),
+        flxunan=_undef_like(out["bbfd"]))
 
 
 def solar_update(state: SolarState, cosz_now, doy_now,
@@ -215,6 +249,10 @@ def solar_update(state: SolarState, cosz_now, doy_now,
     if config.wants("band_sfc"):
         out.update(flx_sfc_band=sc(state.flx_sfc_band_n),
                    drband=sc(state.drband_n), dfband=sc(state.dfband_n))
+    if config.wants("no_aerosol"):
+        # FSWNA/FSCNA/FSWUNA exports (GEOS_SolarGridComp.F90:2056-2112)
+        out.update(fswna=sc(state.flxnan), fscna=sc(state.flcnan),
+                   fswuna=sc(state.flxunan))
     return out
 
 
@@ -239,13 +277,18 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
                       with_aerosol=taua is not None)
         # Chou sign: up negative, down positive; net downward = flxd + flxu
         zb = jnp.zeros((ncol, 16), out["flxd"].dtype)
+        # the Chou solve emits the no-aerosol variants from the same
+        # sweep (irrad.F90's 4 up + 4 down flux sets)
         return IrradState(
             flx=out["flxd"] + out["flxu"], flc=out["flcd"] + out["flcu"],
             flxu=-out["flxu"], flxd=out["flxd"],
             dfdts=out["dfdts"], sfcem=out["sfcem"], ts=inp.tsinst,
             # band OLR is an RRTMG-only diagnostic in the reference
             # (GEOS_IrradGridComp.F90:1257)
-            olrb=zb, dolrb_dts=zb)
+            olrb=zb, dolrb_dts=zb,
+            flxa=out["flxad"] + out["flxau"],
+            fla=out["flad"] + out["flau"],
+            dfdtsna=out["dfdts"])
 
     if config.lw_scheme == Scheme.RRTMGP:
         ncol = inp.t.shape[0]
@@ -276,7 +319,11 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
             dfdts=dfdts, sfcem=sfcem, ts=inp.tsinst,
             olrb=out["olrb"] if wants_olrb else zb,
             dolrb_dts=(out["dolrb_dts"]
-                       if config.ts_derivs and wants_olrb else zb))
+                       if config.ts_derivs and wants_olrb else zb),
+            # the RRTMGP LW path takes no aerosol optics; no-aerosol
+            # fluxes alias the all-sky ones
+            flxa=net, fla=out["flux_dn_clr"] - out["flux_up_clr"],
+            dfdtsna=dfdts)
 
     ncol = inp.t.shape[0]
     emis16 = jnp.broadcast_to(inp.emis[:, None], (ncol, 16))
@@ -301,13 +348,39 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
               - out["dflx"][:, -1] * (1.0 - inp.emis))
     zb = jnp.zeros((ncol, 16), net.dtype)
     wants_olrb = config.wants("olrb")
+    if taua is None:
+        # aerosol-free run: the no-aerosol quadruple is the quadruple
+        flxa, fla, dfdtsna = net, out["dflxc"] - out["uflxc"], dfdts
+    elif config.wants("no_aerosol"):
+        # second aerosol-free solve (the reference's FLXA/FLA internals
+        # come from the RATS-style no-aerosol rerun)
+        na = rrtmg_lw(inp.ple, play, inp.t, tlev, inp.tsinst, emis16,
+                      h2ovmr, o3vmr, inp.co2, inp.ch4, inp.n2o,
+                      jnp.full_like(inp.co2, 0.2095),
+                      jnp.zeros_like(inp.co2),
+                      inp.cfc11, inp.cfc12, inp.hcfc22,
+                      jnp.full_like(inp.co2, 0.0),
+                      inp.fcld, ciwp, clwp, inp.ri, inp.rl,
+                      zm, inp.lats, doy, taua=None,
+                      iceflag=config.iceflag_lw,
+                      liqflag=config.liqflag_lw,
+                      dudts=config.ts_derivs,
+                      cloud_mh=ict, cloud_lm=icb,
+                      inhm=config.condensate_inhomogeneity)
+        flxa = na["dflx"] - na["uflx"]
+        fla = na["dflxc"] - na["uflxc"]
+        dfdtsna = -na["duflx_dts"] if config.ts_derivs \
+            else jnp.zeros_like(net)
+    else:
+        flxa = fla = dfdtsna = _undef_like(net)
     return IrradState(
         flx=net, flc=out["dflxc"] - out["uflxc"],
         flxu=out["uflx"], flxd=out["dflx"],
         dfdts=dfdts, sfcem=sfcem, ts=inp.tsinst,
         olrb=out["olrb"] if wants_olrb else zb,
         dolrb_dts=(out.get("dolrb_dts", zb)
-                   if config.ts_derivs and wants_olrb else zb))
+                   if config.ts_derivs and wants_olrb else zb),
+        flxa=flxa, fla=fla, dfdtsna=dfdtsna)
 
 
 def irrad_update(state: IrradState, tsinst, config: RadiationConfig = None):
@@ -334,6 +407,12 @@ def irrad_update(state: IrradState, tsinst, config: RadiationConfig = None):
         if config is None or config.wants("tbrb"):
             from .diagnostics import band_brightness_temperature
             out["tbrb"] = band_brightness_temperature(olrb)
+    if config is not None and config.wants("no_aerosol"):
+        # FLXA/FLA advanced by DFDTSNA (Update_Flx's no-aerosol sets);
+        # UNDEF marker preserved when the internals were pruned
+        from .diagnostics import UNDEF
+        adv = lambda f: jnp.where(f >= UNDEF, f, f + state.dfdtsna * delt)
+        out.update(flwa=adv(state.flxa), flca_na=adv(state.fla))
     return out
 
 

@@ -30,6 +30,13 @@ class SolarState(NamedTuple):
     cldfrc: jnp.ndarray          # [ncol, 4] McICA cloud fractions
     #   (total/high/mid/low from clearCounts_threeBand,
     #    cloud_subcol_gen.F90:611-769; UNDEF for non-McICA schemes)
+    # no-aerosol variants (FSWNAN/FSCNAN/FSWUNAN internals,
+    # GEOS_SolarGridComp.F90:801-815, filled by the optional second
+    # no-aerosol pass :3249-3259; == the all-sky values when the run has
+    # no aerosols; UNDEF when pruned by config)
+    flxnan: jnp.ndarray          # [ncol, nlev+1] net, no aerosol
+    flcnan: jnp.ndarray          # clear net, no aerosol
+    flxunan: jnp.ndarray         # upward, no aerosol
 
 
 class IrradState(NamedTuple):
@@ -43,6 +50,12 @@ class IrradState(NamedTuple):
     ts: jnp.ndarray          # [ncol] Ts at refresh
     olrb: jnp.ndarray        # [ncol, 16] band OLR (OLRBbbRG internals)
     dolrb_dts: jnp.ndarray   # [ncol, 16] band dOLR/dTs (DOLRBbbRGDT)
+    # no-aerosol variants (FLXA/FLA/DFDTSNA internals,
+    # GEOS_IrradGridComp.F90:500-576; == the with-aerosol values when
+    # the run has no aerosols; UNDEF when pruned by config)
+    flxa: jnp.ndarray        # [ncol, nlev+1] net downward, no aerosol
+    fla: jnp.ndarray         # clear-sky net, no aerosol
+    dfdtsna: jnp.ndarray     # d(net no-aerosol)/dTs
 
 
 class RatsState(NamedTuple):

@@ -18,13 +18,31 @@ from .astronomy import mean_cos_zenith
 
 
 @partial(jax.jit, static_argnames=("config", "ict", "icb"))
-def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb):
-    """Full SW+LW refresh. Returns (solar_state, irrad_state)."""
+def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb,
+                      sw_aero=None, lw_aero=None):
+    """Full SW+LW refresh. Returns (solar_state, irrad_state).
+
+    sw_aero: optional (taua, ssaa, asya) per-SW-band aerosol optics
+    [ncol, nlay, nband] from the aerosol provider (the AERO bundle
+    run_aerosol_optics protocol, GEOS_SolarGridComp.F90:3113-3200).
+    lw_aero: optional LW aerosol optics — (taua, ssaa, asya) for the
+    Chou scheme (10 bands), taua alone for RRTMG (16 bands; absorption
+    only, rrtmg_lw taua input).
+    """
     slr, lit = mean_cos_zenith(inp.lons, inp.lats, doy, utc_hours,
                                config.solar_dt / 3600.0)
     zth = jnp.where(lit > 0.0, slr / jnp.maximum(lit, 1e-6), 0.0)
-    sol = solar_refresh(inp, zth, doy, config, ict, icb)
-    irr = irrad_refresh(inp, doy, config, ict, icb)
+    staua, sssaa, sasya = sw_aero if sw_aero is not None else (None,) * 3
+    if lw_aero is None:
+        ltaua, lssaa, lasya = None, None, None
+    elif isinstance(lw_aero, (tuple, list)):
+        ltaua, lssaa, lasya = lw_aero
+    else:
+        ltaua, lssaa, lasya = lw_aero, None, None
+    sol = solar_refresh(inp, zth, doy, config, ict, icb,
+                        taua=staua, ssaa=sssaa, asya=sasya)
+    irr = irrad_refresh(inp, doy, config, ict, icb,
+                        taua=ltaua, ssaa=lssaa, asya=lasya)
     return sol, irr
 
 
