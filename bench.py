@@ -11,6 +11,75 @@ import time
 import numpy as np
 
 
+def scaling_main():
+    """Weak-scaling efficiency over a device mesh (BASELINE config 5
+    harness). Fixed columns per device; reports columns/s and efficiency
+    vs the 1-device rate at each mesh size. Runs on the virtual CPU mesh
+    (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
+    or on real TPU slices unchanged."""
+    import os
+    if os.environ.get("BENCH_CPU_MESH"):
+        n = os.environ["BENCH_CPU_MESH"]
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device"
+                                     f"_count={n}").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    from geosradiation_gridcomp_tpu.config import RadiationConfig
+    from geosradiation_gridcomp_tpu.driver.step import radiation_refresh
+    from geosradiation_gridcomp_tpu.parallel.sharding import (
+        column_mesh, shard_columns)
+    from __graft_entry__ import _example_inputs
+
+    env = __import__("os").environ
+    percol = int(env.get("BENCH_NCOL_PER_DEV", "256"))
+    # weak scaling (fixed cols/device) is the real-hardware mode; on the
+    # virtual CPU mesh the 8 "devices" share one core pool, so weak
+    # scaling measures the host, not the sharding - use strong scaling
+    # (fixed global cols; efficiency = throughput ratio, ~1.0 when
+    # sharding adds no overhead) there.
+    mode = env.get("BENCH_SCALING_MODE",
+                   "strong" if jax.default_backend() == "cpu" else "weak")
+    nlev = 72
+    cfg = RadiationConfig()
+    devs = jax.devices()
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
+    base = None
+    rows = []
+    for n in sizes:
+        mesh = column_mesh(devs[:n])
+        ncol = percol * n if mode == "weak" else percol * sizes[-1]
+        inp = _example_inputs(ncol=ncol, nlev=nlev)
+        pmid = 0.5 * (np.asarray(inp.ple)[0, 1:]
+                      + np.asarray(inp.ple)[0, :-1])
+        ict, icb = cfg.superlayer_indices(pmid)
+        inp = shard_columns(mesh, inp)
+        step = lambda d: radiation_refresh(inp, d, 12.0, config=cfg,
+                                           ict=ict, icb=icb)
+        sol, irr = step(172.0)
+        jax.block_until_ready((sol.flxn, irr.flx))
+        n_iter = 5
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            sol, irr = step(172.0 + i * 1e-3)
+        jax.block_until_ready((sol.flxn, irr.flx))
+        dt = (time.perf_counter() - t0) / n_iter
+        cps = ncol / dt
+        if base is None:
+            base = cps
+        eff = cps / (base * n) if mode == "weak" else cps / base
+        rows.append({"devices": n, "cols_per_s": round(cps, 1),
+                     "efficiency": round(eff, 4)})
+        print(f"# mesh={n:2d}  {cps:12.1f} cols/s  eff={eff:.3f}")
+    print(json.dumps({
+        "metric": f"{mode}_scaling_efficiency",
+        "value": rows[-1]["efficiency"],
+        "unit": "fraction", "vs_baseline": rows[-1]["efficiency"] / 0.9,
+        "detail": rows}))
+
+
 def main():
     import jax
     from geosradiation_gridcomp_tpu.config import RadiationConfig
@@ -53,4 +122,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -35,6 +35,7 @@ from .misr import misr_simulator
 from .modis import modis_l2_simulator, modis_l3_simulator
 from .lidar import lidar_simulator, lidar_stats
 from .radar import quickbeam_simulator, radar_cfad, lidar_only_freq_cloud
+from .stats import change_vertical_grid, csat_vgrid_bounds
 
 # class indices (cosp_constants hclass columns, 0-based)
 I_LSCLIQ, I_LSCICE, I_LSRAIN, I_LSSNOW = 0, 1, 2, 3
@@ -81,6 +82,11 @@ class SatsimConfig:
     run_modis: bool = True
     run_lidar: bool = True
     run_radar: bool = True
+    # stat-grid regridding (CONSTRUCT_COSP_VGRID, cosp_types.F90:554-605;
+    # COSP_STATS regrids CFAD inputs when use_vgrid, cosp_stats.F90:78-104)
+    use_vgrid: bool = True
+    csat_vgrid: bool = True                 # 480 m CloudSat spacing
+    nlr: int = 40
 
 
 def _chou_vis_tau(dp_pa, cwc, reff):
@@ -233,6 +239,11 @@ def cosp_simulator(key, inp: SatsimInputs, config: SatsimConfig = None):
                                 l2["size"])
         out["modis"] = {"l2": l2, **l3}
 
+    if cfg.use_vgrid:
+        zl_s, zu_s = csat_vgrid_bounds(cfg.nlr, cfg.csat_vgrid)
+        regrid = lambda y, log=False: change_vertical_grid(
+            y, inp.zle, zl_s, zu_s, log_units=log)
+
     sr = None
     if cfg.run_lidar:
         lid = lidar_simulator(
@@ -241,9 +252,22 @@ def cosp_simulator(key, inp: SatsimInputs, config: SatsimConfig = None):
             jnp.zeros_like(mr[I_LSCLIQ]), jnp.zeros_like(mr[I_LSCLIQ]),
             inp.rl, inp.ri, inp.rl, inp.ri,
             ice_type=cfg.lidar_ice_type)
-        st = lidar_stats(lid["pnorm"], lid["pmol"], lid["refl"],
-                         inp.frland, play)
-        sr = lid["pnorm"] / jnp.maximum(lid["pmol"][:, None, :], 1e-38)
+        if cfg.use_vgrid:
+            # statistics on the stat grid (COSP_STATS: regrid beta_tot,
+            # betamol and pressure, then run the LMD/IPSL diagnostics)
+            pnorm_s = regrid(lid["pnorm"])
+            pmol_s = regrid(lid["pmol"][:, None, :])[:, 0]
+            pplay_s = regrid(play[:, None, :])[:, 0]
+            st = lidar_stats(pnorm_s, pmol_s, lid["refl"],
+                             inp.frland, pplay_s)
+            sr = jnp.where(pmol_s[:, None, :] > 0.0,
+                           pnorm_s / jnp.maximum(pmol_s[:, None, :],
+                                                 1e-38), -1.0)
+        else:
+            st = lidar_stats(lid["pnorm"], lid["pmol"], lid["refl"],
+                             inp.frland, play)
+            sr = lid["pnorm"] / jnp.maximum(lid["pmol"][:, None, :],
+                                            1e-38)
         out["lidar"] = {**lid, **st}
 
     if cfg.run_radar:
@@ -254,10 +278,12 @@ def cosp_simulator(key, inp: SatsimInputs, config: SatsimConfig = None):
         re = jnp.stack([re_cld.get(i, zero) for i in range(N_HYDRO)])
         rad = quickbeam_simulator(inp.zle[:, :-1] / 1000.0, play / 100.0,
                                   inp.t - 273.15, rh, hm, re)
-        cf = radar_cfad(rad["dbze"])
+        dbze = regrid(rad["dbze"], log=True) if cfg.use_vgrid \
+            else rad["dbze"]
+        cf = radar_cfad(dbze)
         out["radar"] = {**rad, "cfad_dbze": cf}
         if sr is not None:
-            freq, tcc = lidar_only_freq_cloud(sr, rad["dbze"])
+            freq, tcc = lidar_only_freq_cloud(sr, dbze)
             out["radar"]["lidar_only_freq_cloud"] = freq
             out["radar"]["radar_lidar_tcc"] = tcc
 

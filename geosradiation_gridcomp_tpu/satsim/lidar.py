@@ -182,7 +182,8 @@ def lidar_stats(pnorm, pmol, refl, land, pplay):
     edges = jnp.asarray(np.concatenate([[-1.0], SRBVAL]), dtype)
     ib = jnp.clip(jnp.searchsorted(edges, sr, side="left") - 1,
                   0, SR_BINS - 1)
-    onehot = ib[..., None] == jnp.arange(SR_BINS)
+    onehot = (ib[..., None] == jnp.arange(SR_BINS)) \
+        & (sr != UNDEF)[..., None]     # exclude stat-grid UNDEF bins
     cfad = jnp.sum(onehot, axis=1).astype(dtype) / ncol   # [np, nlev, 15]
     cfad_sr = jnp.swapaxes(cfad, 1, 2)                    # [np, 15, nlev]
 

@@ -91,8 +91,12 @@ def test_modis_cloud_fractions_partition(result):
 def test_lidar_sr_cloud_detected_at_layers(result):
     out, k_liq, k_ice = result
     lc = out["lidar"]["lidarcld"]
-    assert lc[:, k_liq].mean() > 0.3
-    assert lc[:, k_ice].mean() > 0.1
+    # stats live on the 480 m stat grid (ground-ascending); map the
+    # cloud layers' heights (z = -7500 ln(p/ps)) to stat bins
+    b_liq = int(-7500.0 * np.log(0.75) // 480.0)
+    b_ice = int(-7500.0 * np.log(0.30) // 480.0)
+    assert lc[:, b_liq:b_liq + 2].max(axis=1).mean() > 0.3
+    assert lc[:, b_ice:b_ice + 2].max(axis=1).mean() > 0.1
     cfad = out["lidar"]["cfad_sr"]
     np.testing.assert_allclose(cfad.sum(1), 1.0, atol=1e-5)
 
