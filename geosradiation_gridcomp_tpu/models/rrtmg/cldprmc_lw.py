@@ -30,6 +30,44 @@ def _interp_rows(tab, index, fint):
     return lo + fint[..., None] * (hi - lo)
 
 
+def band_abs_coeffs_lw(reice, reliq, iceflag=3, liqflag=1):
+    """Per-band mass-absorption coefficients [m^2/g] from particle sizes.
+
+    reice/reliq [..., nlay] microns -> (absice [..., nlay, 16],
+    absliq [..., nlay, 16]). The per-(column, layer) part of cldprmc,
+    shared with the fused Pallas McICA+optics kernel (which expands
+    band -> g-point in VMEM).
+    """
+    t = load("rrtmg_lw_cld")
+    dtype = reice.dtype
+    if iceflag == 0:
+        a = t["absice0"]
+        absice = jnp.broadcast_to(
+            (float(a[0]) + float(a[1]) / jnp.maximum(reice, 1e-6)
+             )[..., None], reice.shape + (16,))
+    elif iceflag == 1:
+        a = t["absice1"]
+        c1 = jnp.asarray(a[0][_ICE1B], dtype)
+        c2 = jnp.asarray(a[1][_ICE1B], dtype)
+        absice = c1 + c2 / jnp.maximum(reice, 1e-6)[..., None]
+    else:
+        tab = jnp.asarray(t[{2: "absice2", 3: "absice3",
+                             4: "absice4"}[iceflag]], dtype)
+        n = tab.shape[0]
+        factor = (reice - 2.0) / 3.0
+        index = jnp.clip(jnp.floor(factor).astype(jnp.int32), 1, n - 1)
+        fint = factor - index.astype(dtype)
+        absice = _interp_rows(tab, index, fint)
+    assert liqflag == 1
+    tabl = jnp.asarray(t["absliq1"], dtype)
+    nl = tabl.shape[0]
+    factor = reliq - 1.5
+    index = jnp.clip(jnp.floor(factor).astype(jnp.int32), 1, nl - 1)
+    fint = factor - index.astype(dtype)
+    absliq = _interp_rows(tabl, index, fint)
+    return absice, absliq
+
+
 def cldprmc_lw(cldymc, ciwpmc, clwpmc, reice, reliq, iceflag=3, liqflag=1):
     """Cloud optical depth per g-point.
 

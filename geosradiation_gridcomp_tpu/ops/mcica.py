@@ -46,21 +46,40 @@ def correlation_length(am1, am2, am30, am4, doy, alat):
     return (am1 + am2 * jnp.exp(-(alat * _R2D - am3) ** 2 / am4 ** 2)) * 1.0e3
 
 
-def state_seed_key(play_hpa, seed_order=(0, 1, 2, 3)):
-    """Deterministic per-column PRNG key from near-surface layer pressures.
+def state_seed_ints(play_hpa, seed_order=(0, 1, 2, 3)):
+    """Four deterministic uint32 seeds from near-surface layer pressures.
 
-    play_hpa: [nlay] layer pressures, TOA first. Uses the fractional Pa of
-    the lowest four layers (cloud_subcol_gen.F90:336-400), permuted by
-    seed_order, folded into a threefry key.
+    play_hpa: [nlay] layer pressures, TOA first. Uses the fractional Pa
+    of the lowest four layers (cloud_subcol_gen.F90:336-400), permuted by
+    seed_order. Shared by the threefry path and the Pallas kernel path,
+    so both derive their streams from the same model state.
     """
     pseed = play_hpa[-1:-5:-1] * 100.0      # lowest four layers, in Pa
     pseed = pseed[jnp.asarray(seed_order)]
     maximo = 2147483646.0
-    ints = ((pseed - jnp.floor(pseed)) * maximo + 1.0).astype(jnp.uint32)
+    return ((pseed - jnp.floor(pseed)) * maximo + 1.0).astype(jnp.uint32)
+
+
+def state_seed_key(play_hpa, seed_order=(0, 1, 2, 3)):
+    """Deterministic per-column threefry key from the state seeds."""
+    ints = state_seed_ints(play_hpa, seed_order)
     key = jax.random.key(0)
     for i in range(4):
         key = jax.random.fold_in(key, ints[i])
     return key
+
+
+def overlap_params(zmid, alat, doy):
+    """Per-layer exponential-overlap correlations (alpha for cloud
+    presence, rcorr for condensate), [ncol, nlay] with layer 0 = 0."""
+    adl = correlation_length(AAM1, AAM2, AAM30, AAM4, doy, alat)
+    rdl = correlation_length(RAM1, RAM2, RAM30, RAM4, doy, alat)
+    dz = jnp.abs(zmid[:, 1:] - zmid[:, :-1])
+    alpha = jnp.concatenate(
+        [jnp.zeros_like(zmid[:, :1]), jnp.exp(-dz / adl[:, None])], axis=1)
+    rcorr = jnp.concatenate(
+        [jnp.zeros_like(zmid[:, :1]), jnp.exp(-dz / rdl[:, None])], axis=1)
+    return alpha, rcorr
 
 
 def zcw_lookup(cdf, sigma_qcw, inhm):
@@ -203,16 +222,7 @@ def generate_stochastic_clouds(zmid, alat, doy, play, cldfrac, ciwp, clwp,
     """
     dtype = play.dtype
     doy = jnp.asarray(doy)
-
-    adl = correlation_length(AAM1, AAM2, AAM30, AAM4, doy, alat)   # [ncol]
-    rdl = correlation_length(RAM1, RAM2, RAM30, RAM4, doy, alat)
-
-    dz = jnp.abs(zmid[:, 1:] - zmid[:, :-1])
-    alpha = jnp.concatenate(
-        [jnp.zeros_like(zmid[:, :1]), jnp.exp(-dz / adl[:, None])], axis=1)
-    rcorr = jnp.concatenate(
-        [jnp.zeros_like(zmid[:, :1]), jnp.exp(-dz / rdl[:, None])], axis=1)
-
+    alpha, rcorr = overlap_params(zmid, alat, doy)
     sigcls = _sigma_class(cldfrac)
 
     def column(play_c, cldf_c, ciwp_c, clwp_c, alpha_c, rcorr_c, sig_c):
