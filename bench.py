@@ -69,12 +69,26 @@ def scaling_main():
         cps = ncol / dt
         if base is None:
             base = cps
-        eff = cps / (base * n) if mode == "weak" else cps / base
+        # weak: fixed cols/device, ideal = n * base throughput.
+        # strong: fixed global cols, ideal = base throughput scaled by n
+        # devices -> eff = T1/(n*Tn) = cps/(base*n)... except on the
+        # virtual CPU mesh, where the n "devices" share one core pool
+        # and the honest statement is sharding overhead (cps/base ~ 1.0
+        # when resharding adds nothing).
+        if mode == "weak":
+            eff = cps / (base * n)
+        elif jax.default_backend() == "cpu":
+            eff = cps / base
+        else:
+            eff = cps / (base * n)
         rows.append({"devices": n, "cols_per_s": round(cps, 1),
                      "efficiency": round(eff, 4)})
         print(f"# mesh={n:2d}  {cps:12.1f} cols/s  eff={eff:.3f}")
+    metric = (f"{mode}_scaling_efficiency"
+              if mode == "weak" or jax.default_backend() != "cpu"
+              else "sharding_overhead_ratio")
     print(json.dumps({
-        "metric": f"{mode}_scaling_efficiency",
+        "metric": metric,
         "value": rows[-1]["efficiency"],
         "unit": "fraction", "vs_baseline": rows[-1]["efficiency"] / 0.9,
         "detail": rows}))

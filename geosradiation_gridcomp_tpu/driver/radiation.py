@@ -288,7 +288,7 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
             olrb=zb, dolrb_dts=zb,
             flxa=out["flxad"] + out["flxau"],
             fla=out["flad"] + out["flau"],
-            dfdtsna=out["dfdts"])
+            dfdtsna=out["dfdts"], dfdtscna=out["dfdts"])
 
     if config.lw_scheme == Scheme.RRTMGP:
         ncol = inp.t.shape[0]
@@ -323,7 +323,7 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
             # the RRTMGP LW path takes no aerosol optics; no-aerosol
             # fluxes alias the all-sky ones
             flxa=net, fla=out["flux_dn_clr"] - out["flux_up_clr"],
-            dfdtsna=dfdts)
+            dfdtsna=dfdts, dfdtscna=dfdts)
 
     ncol = inp.t.shape[0]
     emis16 = jnp.broadcast_to(inp.emis[:, None], (ncol, 16))
@@ -348,9 +348,12 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
               - out["dflx"][:, -1] * (1.0 - inp.emis))
     zb = jnp.zeros((ncol, 16), net.dtype)
     wants_olrb = config.wants("olrb")
+    dfdtsc = (-out["duflxc_dts"] if config.ts_derivs
+              else jnp.zeros_like(net))
     if taua is None:
         # aerosol-free run: the no-aerosol quadruple is the quadruple
         flxa, fla, dfdtsna = net, out["dflxc"] - out["uflxc"], dfdts
+        dfdtscna = dfdtsc
     elif config.wants("no_aerosol"):
         # second aerosol-free solve (the reference's FLXA/FLA internals
         # come from the RATS-style no-aerosol rerun)
@@ -371,8 +374,10 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
         fla = na["dflxc"] - na["uflxc"]
         dfdtsna = -na["duflx_dts"] if config.ts_derivs \
             else jnp.zeros_like(net)
+        dfdtscna = -na["duflxc_dts"] if config.ts_derivs \
+            else jnp.zeros_like(net)
     else:
-        flxa = fla = dfdtsna = _undef_like(net)
+        flxa = fla = dfdtsna = dfdtscna = _undef_like(net)
     return IrradState(
         flx=net, flc=out["dflxc"] - out["uflxc"],
         flxu=out["uflx"], flxd=out["dflx"],
@@ -380,7 +385,7 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
         olrb=out["olrb"] if wants_olrb else zb,
         dolrb_dts=(out.get("dolrb_dts", zb)
                    if config.ts_derivs and wants_olrb else zb),
-        flxa=flxa, fla=fla, dfdtsna=dfdtsna)
+        flxa=flxa, fla=fla, dfdtsna=dfdtsna, dfdtscna=dfdtscna)
 
 
 def irrad_update(state: IrradState, tsinst, config: RadiationConfig = None):
@@ -408,11 +413,13 @@ def irrad_update(state: IrradState, tsinst, config: RadiationConfig = None):
             from .diagnostics import band_brightness_temperature
             out["tbrb"] = band_brightness_temperature(olrb)
     if config is not None and config.wants("no_aerosol"):
-        # FLXA/FLA advanced by DFDTSNA (Update_Flx's no-aerosol sets);
-        # UNDEF marker preserved when the internals were pruned
+        # FLXA advanced by DFDTSNA, FLA by the clear-sky DFDTSCNA
+        # (Update_Flx, GEOS_IrradGridComp.F90:3868-3877); UNDEF marker
+        # preserved when the internals were pruned
         from .diagnostics import UNDEF
-        adv = lambda f: jnp.where(f >= UNDEF, f, f + state.dfdtsna * delt)
-        out.update(flwa=adv(state.flxa), flca_na=adv(state.fla))
+        adv = lambda f, d: jnp.where(f >= UNDEF, f, f + d * delt)
+        out.update(flwa=adv(state.flxa, state.dfdtsna),
+                   flca_na=adv(state.fla, state.dfdtscna))
     return out
 
 

@@ -56,6 +56,9 @@ class IrradState(NamedTuple):
     flxa: jnp.ndarray        # [ncol, nlev+1] net downward, no aerosol
     fla: jnp.ndarray         # clear-sky net, no aerosol
     dfdtsna: jnp.ndarray     # d(net no-aerosol)/dTs
+    # clear-sky no-aerosol derivative (DFDTSCNA,
+    # GEOS_IrradGridComp.F90:3871); Chou aliases dfdts (:3555)
+    dfdtscna: jnp.ndarray
 
 
 class RatsState(NamedTuple):

@@ -17,7 +17,7 @@ and the pervasive VERIFY_/_ASSERT macros. Two layers:
 import numpy as np
 import jax
 
-# (field, min, max, allow_equal_min) physical ranges, after
+# (field, min, max) physical ranges, after
 # rrtmg_lw_rad.F90:209-318 (pressures in Pa here, vmr unitless, T in K,
 # radii in micron). Mass mixing ratios use generous vmr-equivalent caps.
 _RANGES = [

@@ -34,6 +34,97 @@ def _to_g(band_arr):
     return jnp.swapaxes(band_arr[..., _BAND_G], -1, -2)
 
 
+def band_optics_coeffs_sw(reice, reliq, iceflag=3, liqflag=1):
+    """Per-band SW cloud-optics coefficients from particle sizes.
+
+    reice/reliq [..., nlay] microns -> 8 planes [..., nlay, 14]:
+    (extcoice, ssacoice, gice, forwice, extcoliq, ssacoliq, gliq,
+    forwliq), UNMASKED (the has_ice/has_liq zeroing happens in the
+    consumer - cldprmc_sw here, or in VMEM in the fused Pallas kernel).
+    The per-(column, layer) half of cldprmc_sw; band->g expansion is the
+    consumer's job.
+    """
+    t = load("rrtmg_sw_cld")
+    dtype = reice.dtype
+    if iceflag == 1:
+        icxa = np.asarray(t["icxa"], np.int64)
+        ib5 = icxa - 1                              # per-band 5-band index
+        re_i = reice[..., None]
+        abari = jnp.asarray(t["abari"][ib5], dtype)
+        bbari = jnp.asarray(t["bbari"][ib5], dtype)
+        cbari = jnp.asarray(t["cbari"][ib5], dtype)
+        dbari = jnp.asarray(t["dbari"][ib5], dtype)
+        ebari = jnp.asarray(t["ebari"][ib5], dtype)
+        fbari = jnp.asarray(t["fbari"][ib5], dtype)
+        extcoice = abari + bbari / jnp.maximum(re_i, 1e-6)
+        ssacoice = 1.0 - cbari - dbari * re_i
+        gice = jnp.minimum(ebari + fbari * re_i, 1.0 - 1e-6)
+        forwice = gice * gice
+    else:
+        suff = {2: "2", 3: "3"}[iceflag]
+        ext = jnp.asarray(t["extice" + suff], dtype)
+        ssa = jnp.asarray(t["ssaice" + suff], dtype)
+        asy = jnp.asarray(t["asyice" + suff], dtype)
+        n = ext.shape[0]
+        factor = (reice - 2.0) / 3.0
+        index = jnp.clip(jnp.floor(factor).astype(jnp.int32), 1, n - 1)
+        fint = factor - index.astype(dtype)
+        extcoice = _interp_rows(ext, index, fint)
+        ssacoice = _interp_rows(ssa, index, fint)
+        gice = _interp_rows(asy, index, fint)
+        if iceflag == 3:
+            fdl = jnp.asarray(t["fdlice3"], dtype)
+            fdelta = _interp_rows(fdl, index, fint)
+            forwice = jnp.minimum(
+                fdelta + 0.5 / jnp.maximum(ssacoice, 1e-12), gice)
+        else:
+            forwice = gice * gice
+
+    assert liqflag == 1
+    extl = jnp.asarray(t["extliq1"], dtype)
+    ssal = jnp.asarray(t["ssaliq1"], dtype)
+    asyl = jnp.asarray(t["asyliq1"], dtype)
+    nl = extl.shape[0]
+    factor_l = reliq - 1.5
+    index_l = jnp.clip(jnp.floor(factor_l).astype(jnp.int32), 1, nl - 1)
+    fint_l = factor_l - index_l.astype(dtype)
+    extcoliq = _interp_rows(extl, index_l, fint_l)
+    ssacoliq = _interp_rows(ssal, index_l, fint_l)
+    ssal_base = jnp.broadcast_to(ssal[index_l - 1], fint_l.shape + (14,))
+    ssacoliq = jnp.where((fint_l[..., None] < 0.0) & (ssacoliq > 1.0),
+                         ssal_base, ssacoliq)
+    gliq = _interp_rows(asyl, index_l, fint_l)
+    forwliq = gliq * gliq
+    return (extcoice, ssacoice, gice, forwice,
+            extcoliq, ssacoliq, gliq, forwliq)
+
+
+def delta_band_coeffs_sw(reice, reliq, iceflag=3, liqflag=1):
+    """Delta-scaled per-band coefficients for the fused SW kernel.
+
+    The cldprmc_sw delta-scaling algebra depends only on (column, layer,
+    band), so it folds into three coefficients per phase; the per-g
+    quantities are then just water-path multiples:
+
+      tau_phase  = cwp * ext_eff   with ext_eff  = (1 - f*ssa) * ext
+      scat_phase = cwp * scat_c    with scat_c   = ssa * (1 - f) * ext
+      scat*g'    = cwp * asy_c     with asy_c    = ssa * (g - f) * ext
+
+    (g' = (g - f)/(1 - f) the delta-scaled asymmetry). Returns 6 planes
+    [..., nlay, 14]: (ext_i, scat_i, asy_i, ext_l, scat_l, asy_l).
+    """
+    (extcoice, ssacoice, gice, forwice,
+     extcoliq, ssacoliq, gliq, forwliq) = band_optics_coeffs_sw(
+        reice, reliq, iceflag=iceflag, liqflag=liqflag)
+    ext_i = (1.0 - forwice * ssacoice) * extcoice
+    scat_i = ssacoice * (1.0 - forwice) * extcoice
+    asy_i = ssacoice * (gice - forwice) * extcoice
+    ext_l = (1.0 - forwliq * ssacoliq) * extcoliq
+    scat_l = ssacoliq * (1.0 - forwliq) * extcoliq
+    asy_l = ssacoliq * (gliq - forwliq) * extcoliq
+    return ext_i, scat_i, asy_i, ext_l, scat_l, asy_l
+
+
 def cldprmc_sw(cldymc, ciwpmc, clwpmc, reice, reliq, iceflag=3, liqflag=1):
     """Returns (taucmc, ssacmc, asmcmc, taormc), each [..., ngpt, nlay].
 

@@ -13,13 +13,16 @@ import jax
 import jax.numpy as jnp
 
 from ...constants import GRAV, RGAS, AMD
-from ...ops.mcica import generate_stochastic_clouds, clear_counts_three_band
-from .cldprmc_lw import cldprmc_lw
+from ...ops.mcica import (generate_stochastic_clouds,
+                          clear_counts_three_band, overlap_params,
+                          state_seed_ints, _sigma_class)
+from ...ops.mcica_pallas import mcica_optics_lw_fused
+from .cldprmc_lw import cldprmc_lw, band_abs_coeffs_lw
 from .rtrnmc import rtrnmc
 from .rtrnmc_pallas import rtrnmc_fast
 from .setcoef_lw import setcoef_lw
 from .taumol_lw import taumol_lw
-from .tables_lw import NGPTLW
+from .tables_lw import NGPTLW, NG_LW
 
 
 def level_temperatures(play, tlay, plev, tsfc):
@@ -84,15 +87,34 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
     """
     plev = ple * 0.01
 
-    cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
-        zm, alat, doy, play, cldf, ciwp, clwp, 1.0e-20,
-        nsubcol=NGPTLW, inhm=inhm, seed_order=(0, 1, 2, 3))
+    if jax.default_backend() == "tpu":
+        # fused Pallas McICA + cloud-optics kernel: subcolumn draws,
+        # overlap chains, zcw scaling, band->g optical depths, and the
+        # clear-count reduction never leave VMEM (ops/mcica_pallas.py);
+        # parity vs the jnp oracle is population-statistical by the
+        # reference's own contract (cloud_subcol_gen.F90:24-31) and is
+        # gated on-chip by tools/verify_tpu.py
+        alpha, rcorr = overlap_params(zm, alat, doy)
+        sigcls = _sigma_class(cldf)
+        seeds = jax.vmap(
+            lambda p: state_seed_ints(p, seed_order=(0, 1, 2, 3)))(play)
+        absi, absl = band_abs_coeffs_lw(rei, rel, iceflag=iceflag,
+                                        liqflag=liqflag)
+        taucmc, cloudy, counts = mcica_optics_lw_fused(
+            seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, absi, absl,
+            nsub=NGPTLW, inhm=inhm, cwp_tiny=1.0e-20,
+            cloud_mh=cloud_mh, cloud_lm=cloud_lm,
+            band_ng=tuple(int(g) for g in NG_LW))
+    else:
+        cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
+            zm, alat, doy, play, cldf, ciwp, clwp, 1.0e-20,
+            nsubcol=NGPTLW, inhm=inhm, seed_order=(0, 1, 2, 3))
 
-    counts = clear_counts_three_band(cldy, cloud_mh, cloud_lm)
+        counts = clear_counts_three_band(cldy, cloud_mh, cloud_lm)
 
-    taucmc_gl, cloudy = cldprmc_lw(cldy, ciwp_s, clwp_s, rei, rel,
-                                   iceflag=iceflag, liqflag=liqflag)
-    taucmc = jnp.swapaxes(taucmc_gl, -1, -2)     # [ncol, nlay, ngpt]
+        taucmc_gl, cloudy = cldprmc_lw(cldy, ciwp_s, clwp_s, rei, rel,
+                                       iceflag=iceflag, liqflag=liqflag)
+        taucmc = jnp.swapaxes(taucmc_gl, -1, -2)  # [ncol, nlay, ngpt]
 
     coefs = setcoef_lw(play, tlay, plev, tlev, tsfc, emis,
                        h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr, o2vmr, covmr,

@@ -18,13 +18,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ...ops.mcica import generate_stochastic_clouds, clear_counts_three_band
-from .cldprmc_sw import cldprmc_sw
+from ...ops.mcica import (generate_stochastic_clouds,
+                          clear_counts_three_band, overlap_params,
+                          state_seed_ints, _sigma_class)
+from ...ops.mcica_pallas import mcica_optics_sw_fused
+from .cldprmc_sw import cldprmc_sw, delta_band_coeffs_sw
 from .nrlssi2 import solar_source_weights
 from .setcoef_sw import setcoef_sw
 from .spcvmc import spcvmc_sw
+from .spcvmc_pallas import spcvmc_fast
 from .taumol_sw import taumol_sw
-from .tables_sw import NGPTSW
+from .tables_sw import NGPTSW, NG_SW
 
 RRSW_SCON = 1368.22    # internal solar constant of the k-tables (rrsw_con)
 
@@ -58,18 +62,36 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
     """
     plev = ple * 0.01
 
-    cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
-        zm, alat, doy, play, cldf, ciwp, clwp, 1.0e-20,
-        nsubcol=NGPTSW, inhm=inhm, seed_order=(3, 2, 1, 0))
-    counts = clear_counts_three_band(cldy, cloud_mh, cloud_lm)
+    if jax.default_backend() == "tpu":
+        # fused Pallas McICA + SW cloud optics (ops/mcica_pallas.py);
+        # population-statistics parity with the jnp oracle, gated
+        # on-chip by tools/verify_tpu.py
+        alpha, rcorr = overlap_params(zm, alat, doy)
+        sigcls = _sigma_class(cldf)
+        seeds = jax.vmap(
+            lambda p: state_seed_ints(p, seed_order=(3, 2, 1, 0)))(play)
+        coeffs = delta_band_coeffs_sw(rei, rel, iceflag=iceflag,
+                                      liqflag=liqflag)
+        taucmc, ssacmc, asmcmc, counts = mcica_optics_sw_fused(
+            seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, *coeffs,
+            nsub=NGPTSW, inhm=inhm, cwp_tiny=1.0e-20,
+            cloud_mh=cloud_mh, cloud_lm=cloud_lm,
+            band_ng=tuple(int(g) for g in NG_SW))
+        cldymc = taucmc > 0.0          # cloudy cells floored at CLDMIN
+    else:
+        cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
+            zm, alat, doy, play, cldf, ciwp, clwp, 1.0e-20,
+            nsubcol=NGPTSW, inhm=inhm, seed_order=(3, 2, 1, 0))
+        counts = clear_counts_three_band(cldy, cloud_mh, cloud_lm)
 
-    taucmc_gl, ssacmc_gl, asmcmc_gl, taormc_gl = cldprmc_sw(
-        cldy, ciwp_s, clwp_s, rei, rel, iceflag=iceflag, liqflag=liqflag)
-    swap = lambda x: jnp.swapaxes(x, -1, -2)      # -> [ncol, nlay, ngpt]
-    taucmc = swap(taucmc_gl)
-    ssacmc = swap(ssacmc_gl)
-    asmcmc = swap(asmcmc_gl)
-    cldymc = swap(cldy)
+        taucmc_gl, ssacmc_gl, asmcmc_gl, taormc_gl = cldprmc_sw(
+            cldy, ciwp_s, clwp_s, rei, rel, iceflag=iceflag,
+            liqflag=liqflag)
+        swap = lambda x: jnp.swapaxes(x, -1, -2)  # -> [ncol, nlay, ngpt]
+        taucmc = swap(taucmc_gl)
+        ssacmc = swap(ssacmc_gl)
+        asmcmc = swap(asmcmc_gl)
+        cldymc = swap(cldy)
 
     coefs = setcoef_sw(play, tlay, plev, h2ovmr, o3vmr, co2vmr, ch4vmr,
                        o2vmr)
@@ -88,11 +110,13 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
     albdif = jnp.where(jnp.asarray(uvband), albdif_uv[:, None],
                        albdif_nir[:, None])
 
-    # scon / isolvar scaling is already folded into sfluxzen via svw
+    # scon / isolvar scaling is already folded into sfluxzen via svw.
+    # Pallas fused solver on TPU; the jnp scan (the oracle) elsewhere
     adjflux = adjes
-    out = spcvmc_sw(coefs, taug, taur, sfluxzen, coszen, albdir, albdif,
-                    cldymc, taucmc, ssacmc, asmcmc,
-                    taua=taua, ssaa=ssaa, asya=asya, adjflux=adjflux)
+    solver = spcvmc_fast if jax.default_backend() == "tpu" else spcvmc_sw
+    out = solver(coefs, taug, taur, sfluxzen, coszen, albdir, albdif,
+                 cldymc, taucmc, ssacmc, asmcmc,
+                 taua=taua, ssaa=ssaa, asya=asya, adjflux=adjflux)
     out["clear_counts"] = counts
     # zero out fluxes for night columns
     day = (coszen > 0.0).astype(taug.dtype)

@@ -43,14 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tables import load
 
 _N1 = 1000
-# polynomial segment boundaries in cdf space; the first segment starts
-# at the first table node (below it the table interpolates from its
-# floor value), the last two boundaries isolate the rough top bins and
-# the discontinuous final bins (exact piecewise-linear there)
-_BOUNDS = (1.0 / 999.0, 15.0 / 999.0, 0.1, 0.3, 0.6, 0.85,
-           983.0 / 999.0, 994.0 / 999.0)
-_NSEG = len(_BOUNDS) - 1          # 7 fitted segments
-_DEG = 10
+# fitted region in cdf space: below _LO the table interpolates from its
+# floor value (exact linear head), above _HI the bins are rough /
+# discontinuous (exact piecewise-linear tail); in between, one
+# arcsin-warped polynomial per sigma class (the warp resolves the steep
+# ends without segmenting, so the kernel evaluation is a single Horner
+# chain with SCALAR coefficients - no per-segment selects on the VPU)
+_LO = 1.0 / 999.0
+_HI = 994.0 / 999.0
+_DEG = 14
 
 
 def _class_columns(inhm):
@@ -71,10 +72,17 @@ def _class_columns(inhm):
 def _zcw_fit(inhm):
     """Fit constants for the in-kernel zcw evaluation.
 
-    Returns dict of float32 numpy arrays:
+    Returns dict:
       head [3, 2]      value = head[c,0] + f1*head[c,1] for cdf < 1/999
-      poly [3, nseg, deg+1]  power-basis coeffs in t = 2(x-a)/(b-a)-1
+      poly [3, deg+1]  power-basis coeffs (high->low) in the normalized
+                       arcsin-warped coordinate t(v)
+      warp (a, b)      t = a * arcsin(2v - 1) + b
       tail_int/tail_slp [3, 5]  linear pieces for ind1 in {995..999}
+
+    Max abs deviation vs the bilinear table over the fitted region is
+    <= 4.7e-3 (beta table, sigma class 1.0), on par with the table's own
+    4-significant-digit quantization; the flux-level impact is gated by
+    tools/verify_tpu.py.
     """
     cols = _class_columns(inhm)
 
@@ -83,27 +91,44 @@ def _zcw_fit(inhm):
         i = np.clip(np.floor(rind1).astype(int), 1, _N1 - 1)
         return col[i - 1] + (rind1 - i) * (col[i] - col[i - 1])
 
-    poly = np.zeros((3, _NSEG, _DEG + 1), np.float64)
+    x = np.linspace(_LO, _HI, 200000)
+    u = np.arcsin(2.0 * x - 1.0)
+    ua, ub = u.min(), u.max()
+    t = (u - ua) / (ub - ua) * 2.0 - 1.0
+    poly = np.zeros((3, _DEG + 1), np.float64)
     for c in range(3):
-        for s in range(_NSEG):
-            a, b = _BOUNDS[s], _BOUNDS[s + 1]
-            x = np.linspace(a, b, 60000, endpoint=False)
-            t = (x - a) / (b - a) * 2.0 - 1.0
-            cf = np.polynomial.chebyshev.chebfit(t, f_exact(x, cols[c]),
-                                                 _DEG)
-            poly[c, s] = np.polynomial.chebyshev.cheb2poly(cf)
+        cf = np.polynomial.chebyshev.chebfit(t, f_exact(x, cols[c]), _DEG)
+        poly[c] = np.polynomial.chebyshev.cheb2poly(cf)[::-1]  # high->low
+    wa = 2.0 / (ub - ua)
+    wb = -2.0 * ua / (ub - ua) - 1.0
     head = np.stack([cols[:, 0], cols[:, 1] - cols[:, 0]], axis=1)
     tail_int = cols[:, 994:999]
     tail_slp = cols[:, 995:1000] - cols[:, 994:999]
     return dict(head=head.astype(np.float32),
                 poly=poly.astype(np.float32),
+                warp=(float(wa), float(wb)),
                 tail_int=tail_int.astype(np.float32),
                 tail_slp=tail_slp.astype(np.float32))
 
 
+def mix_seed_pairs(seeds4):
+    """[ncol, 4] uint32 state-derived seeds -> [ncol, 2] int32 for the
+    TPU hardware PRNG (prng_seed takes at most 2 values on this
+    target). Rotate-xor mixing keeps all four state words influential,
+    stays deterministic, and is decomposition-invariant (per-column)."""
+    s = seeds4.astype(jnp.uint32)
+    rotl = lambda x, k: (x << k) | (x >> (32 - k))
+    a = s[:, 0] ^ rotl(s[:, 1], 13)
+    b = s[:, 2] ^ rotl(s[:, 3], 17)
+    return jnp.stack([a, b], axis=1).astype(jnp.int32)
+
+
 def _uniform(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # >>8 leaves 24 bits, so the int32 detour is exact (Mosaic has no
+    # direct uint32 -> float32 cast)
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
 
 
 def _ffill(v, filled, nlay):
@@ -126,9 +151,29 @@ def _ffill(v, filled, nlay):
     return v
 
 
+_ASIN_C = (-0.0012624911, 0.0066700901, -0.0170881256, 0.0308918810,
+           -0.0501743046, 0.0889789874, -0.2145988016, 1.5707963050)
+
+
+def _asin(z):
+    """arcsin on [-1, 1] via Abramowitz & Stegun 4.4.46 (|err| < 2e-8):
+    asin(x) = pi/2 - sqrt(1-x) * P7(x) for x in [0, 1], odd-extended.
+    Mosaic has no asin primitive; this is sqrt + 7 fma on the VPU."""
+    x = jnp.abs(z)
+    p = jnp.full(z.shape, _ASIN_C[0], z.dtype)
+    for c in _ASIN_C[1:]:
+        p = p * x + c
+    a = 1.5707963267948966 - jnp.sqrt(jnp.maximum(1.0 - x, 0.0)) * p
+    return jnp.where(z < 0.0, -a, a)
+
+
 def _zcw_eval(v, cls, fit):
     """zcw(v, class) inside the kernel. v [B, nsub, nlay] in [0,1);
-    cls: (is0, is1) boolean planes [B, 1, nlay]."""
+    cls: (is0, is1) boolean planes [B, 1, nlay].
+
+    One arcsin-warped Horner chain per sigma class with SCALAR
+    coefficients (three fused multiply-add chains on the VPU), blended
+    by two class selects; head/tail regions exact as in the table."""
     is0, is1 = cls
 
     def csel(c3):
@@ -137,28 +182,17 @@ def _zcw_eval(v, cls, fit):
                          jnp.where(is1, float(c3[1]), float(c3[2])))
 
     rind1 = v * (_N1 - 1) + 1.0
-    # fitted segments: segment id by boundary compares
-    sid = jnp.zeros(v.shape, jnp.int32)
-    for b in _BOUNDS[1:-1]:
-        sid = sid + (v >= b).astype(jnp.int32)
-
-    def seg_sel(values):
-        # values: per-segment [B,1,nlay] planes (or python floats)
-        out = values[0] if not isinstance(values[0], float) \
-            else jnp.full_like(v, values[0])
-        for s in range(1, _NSEG):
-            out = jnp.where(sid == s, values[s], out)
-        return out
-
-    a_s = seg_sel([float(b) for b in _BOUNDS[:-1]])
-    w_s = seg_sel([float(b2 - b1)
-                   for b1, b2 in zip(_BOUNDS[:-1], _BOUNDS[1:])])
-    t = (v - a_s) / w_s * 2.0 - 1.0
+    wa, wb = fit["warp"]
+    z = jnp.clip(2.0 * v - 1.0, -1.0, 1.0)
+    t = wa * _asin(z) + wb
     poly = fit["poly"]
-    acc = seg_sel([csel(poly[:, s, _DEG]) for s in range(_NSEG)])
-    for k in range(_DEG - 1, -1, -1):
-        ck = seg_sel([csel(poly[:, s, k]) for s in range(_NSEG)])
-        acc = acc * t + ck
+    accs = []
+    for c in range(3):
+        acc = jnp.full(v.shape, float(poly[c, 0]), v.dtype)
+        for k in range(1, _DEG + 1):
+            acc = acc * t + float(poly[c, k])
+        accs.append(acc)
+    acc = jnp.where(is0, accs[0], jnp.where(is1, accs[1], accs[2]))
 
     # exact head: cdf < 1/999
     vhead = csel(fit["head"][:, 0]) + (v * (_N1 - 1)) \
@@ -175,21 +209,22 @@ def _zcw_eval(v, cls, fit):
         slp = jnp.where(p == q, csel(ts[:, q]), slp)
     vtail = inter + f1 * slp
 
-    out = jnp.where(v < _BOUNDS[0], vhead,
+    out = jnp.where(v < _LO, vhead,
                     jnp.where(ind1 >= 995, vtail, acc))
     return out
 
 
-def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
-            tau_out, cloudy_out, counts_out,
-            cdf1, keep1, cdf3, keep3, *,
-            nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
-            band_g0, fit):
+def _gen_subcols(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+                 cdf1, keep1, cdf3, keep3, *,
+                 nsub, nlay, ncolb, inhm, cwp_tiny, fit):
+    """Shared in-kernel McICA generation: per-column PRNG streams,
+    exponential-overlap forward fills, zcw condensate scaling.
+
+    Returns (cldy [B, nsub, nlay] bool, ciwp_s, clwp_s)."""
     f32 = jnp.float32
 
     def gen(i, _):
-        pltpu.prng_seed(seeds[i, 0], seeds[i, 1], seeds[i, 2],
-                        seeds[i, 3])
+        pltpu.prng_seed(seeds[i, 0], seeds[i, 1])
         c1 = _uniform((nsub, nlay))
         c2 = _uniform((nsub, nlay))
         c2b = _uniform((nsub, nlay))
@@ -219,23 +254,23 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
     ciwp_s = jnp.where(ciwp_s <= cwp_tiny, 0.0, ciwp_s)
     clwp_s = jnp.where(clwp_s <= cwp_tiny, 0.0, clwp_s)
     cldy = cloudy & ((ciwp_s > 0.0) | (clwp_s > 0.0))
+    return cldy, ciwp_s, clwp_s
 
-    # band -> g expansion: per-g coefficient planes by select-accumulate
-    # over the static band ranges (no gathers, no unaligned writes)
-    gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay), 1)
-    absi_g = jnp.zeros((ncolb, nsub, nlay), f32)
-    absl_g = jnp.zeros((ncolb, nsub, nlay), f32)
+
+def _band_to_g(field, band_g0, gband):
+    """Expand [B, nbnd, nlay] band planes to [B, nsub, nlay] by
+    select-accumulate over static band ranges (no gathers)."""
+    out = jnp.zeros(gband.shape, jnp.float32)
     for b in range(len(band_g0) - 1):
         m = (gband >= band_g0[b]) & (gband < band_g0[b + 1])
-        absi_g = jnp.where(m, absi[:, :, b][:, None, :], absi_g)
-        absl_g = jnp.where(m, absl[:, :, b][:, None, :], absl_g)
-    tau = jnp.where(cldy & (ciwp_s > 0.0), ciwp_s * absi_g, 0.0) \
-        + jnp.where(cldy & (clwp_s > 0.0), clwp_s * absl_g, 0.0)
+        out = jnp.where(m, field[:, :, b][:, None, :], out)
+    return out
 
-    tau_out[:] = jnp.swapaxes(tau, 1, 2)
-    cloudy_out[:] = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=1)
 
-    # clearCounts_threeBand: fully-clear subcolumns per layer band
+def _clear_counts(cldy, cloud_mh, cloud_lm, counts_out):
+    """clearCounts_threeBand reduced in-kernel: fully-clear subcolumns
+    per layer band."""
+    f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, cldy.shape, 2)
     cf = cldy.astype(f32)
 
@@ -249,6 +284,27 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
                    & (lane < cloud_lm - 1)).astype(f32))
     c_low = count((lane >= cloud_lm - 1).astype(f32))
     counts_out[:] = jnp.stack([c_tot, c_high, c_mid, c_low], axis=1)
+
+
+def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
+            tau_out, cloudy_out, counts_out,
+            cdf1, keep1, cdf3, keep3, *,
+            nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
+            band_g0, fit):
+    cldy, ciwp_s, clwp_s = _gen_subcols(
+        seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+        cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
+        inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
+
+    gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay), 1)
+    absi_g = _band_to_g(absi, band_g0, gband)
+    absl_g = _band_to_g(absl, band_g0, gband)
+    tau = jnp.where(cldy & (ciwp_s > 0.0), ciwp_s * absi_g, 0.0) \
+        + jnp.where(cldy & (clwp_s > 0.0), clwp_s * absl_g, 0.0)
+
+    tau_out[:] = jnp.swapaxes(tau, 1, 2)
+    cloudy_out[:] = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=1)
+    _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
 
 
 @partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",
@@ -297,8 +353,8 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, 4), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),     # seeds
+            pl.BlockSpec((B, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),     # seeds (mixed)
             row(), row(), row(), row(), row(),          # alpha..clwp
             row(), row(),                               # is0, is1
             row(nbnd), row(nbnd),                       # absice, absliq
@@ -317,5 +373,131 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
         ],
         scratch_shapes=[pltpu.VMEM((B, nsub, nlay), jnp.float32)
                         for _ in range(4)],
-    )(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absice, absliq)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(mix_seed_pairs(seeds), alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+      absice, absliq)
     return tau, cloudy > 0.0, counts.astype(jnp.int32)
+
+
+_CLDMIN = 1.0e-20
+
+
+def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+               ext_i, scat_i, asy_i, ext_l, scat_l, asy_l,
+               tau_out, ssa_out, asm_out, counts_out,
+               cdf1, keep1, cdf3, keep3, *,
+               nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
+               band_g0, fit):
+    """SW variant: the same subcolumn generation, then the cldprmc_sw
+    combination (rrtmg_sw_cldprmc.F90:40-330) on VMEM-resident per-g
+    water paths. The delta-scaling algebra is folded into the 6 per-band
+    coefficient planes (delta_band_coeffs_sw), so per g-point the
+    kernel is six water-path multiplies + the cloudy-cell guards."""
+    cldy, ciwp_s, clwp_s = _gen_subcols(
+        seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+        cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
+        inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
+
+    gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay), 1)
+    eg = lambda f: _band_to_g(f, band_g0, gband)
+
+    # cwp is zero outside cloudy cells, so no per-phase masking is
+    # needed on the products (has_ice/has_liq of the oracle)
+    tauice = ciwp_s * eg(ext_i)
+    tauliq = clwp_s * eg(ext_l)
+    scatliq = clwp_s * eg(scat_l)
+    scatice = jnp.maximum(ciwp_s * eg(scat_i),
+                          jnp.where(cldy, _CLDMIN, 0.0))
+    taucmc = tauliq + tauice
+    taucmc = jnp.where(cldy & (taucmc == 0.0), _CLDMIN, taucmc)
+    ssacmc = jnp.where(
+        cldy, (scatliq + scatice) / jnp.maximum(taucmc, _CLDMIN), 1.0)
+    asy_num = clwp_s * eg(asy_l) + ciwp_s * eg(asy_i)
+    scat_tot = jnp.maximum(scatliq + scatice, 1e-30)
+    asmcmc = jnp.where(cldy, asy_num / scat_tot, 0.0)
+    taucmc = jnp.where(cldy, taucmc, 0.0)
+
+    # emit in generation layout [B, nsub, nlay]; the (cheap, XLA-fused)
+    # transpose to [ncol, nlay, nsub] happens outside - three in-kernel
+    # transposes blow the Mosaic VMEM stack budget
+    tau_out[:] = taucmc
+    ssa_out[:] = ssacmc
+    asm_out[:] = asmcmc
+    _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
+
+
+@partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",
+                                   "cloud_lm", "band_ng", "col_block"))
+def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
+                          ext_i, scat_i, asy_i, ext_l, scat_l, asy_l,
+                          *, nsub, inhm, cwp_tiny, cloud_mh,
+                          cloud_lm, band_ng, col_block=16):
+    """Fused McICA + SW cloud optics with delta scaling.
+
+    Args mirror mcica_optics_lw_fused; the 6 delta-folded coefficient
+    planes (tau/scat/asy-numerator rates for ice and liquid) are
+    [ncol, nlay, nbnd], from models.rrtmg.cldprmc_sw.delta_band_coeffs_sw.
+
+    Returns (taucmc, ssacmc, asmcmc each [ncol, nlay, nsub],
+    counts [ncol, 4] int32). Cloudy-per-g is recoverable as taucmc > 0
+    (cldprmc_sw floors cloudy cells at CLDMIN).
+    """
+    ncol, nlay = cldf.shape
+    nbnd = len(band_ng)
+    band_g0 = tuple(np.concatenate([[0], np.cumsum(band_ng)]).tolist())
+    fit = _zcw_fit(inhm) if inhm != 0 else None
+    B = min(col_block, ncol)
+    if ncol % B:
+        pad = B - ncol % B
+        padf = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                                 mode="edge")
+        out = mcica_optics_sw_fused(
+            padf(seeds), padf(alpha), padf(rcorr), padf(cldf),
+            padf(ciwp), padf(clwp), padf(sigcls), padf(ext_i),
+            padf(scat_i), padf(asy_i), padf(ext_l),
+            padf(scat_l), padf(asy_l), nsub=nsub, inhm=inhm,
+            cwp_tiny=cwp_tiny, cloud_mh=cloud_mh, cloud_lm=cloud_lm,
+            band_ng=band_ng, col_block=col_block)
+        return jax.tree_util.tree_map(lambda x: x[:ncol], out)
+    is0 = (sigcls == 0).astype(jnp.float32)
+    is1 = (sigcls == 1).astype(jnp.float32)
+
+    kern = partial(_kernel_sw, nsub=nsub, nlay=nlay, ncolb=B, inhm=inhm,
+                   cwp_tiny=cwp_tiny, cloud_mh=cloud_mh,
+                   cloud_lm=cloud_lm, band_g0=band_g0, fit=fit)
+    grid = (ncol // B,)
+    row = lambda ncols=None: pl.BlockSpec(
+        (B, nlay) if ncols is None else (B, nlay, ncols),
+        (lambda i: (i, 0)) if ncols is None else (lambda i: (i, 0, 0)),
+        memory_space=pltpu.VMEM)
+    gout = pl.BlockSpec((B, nsub, nlay), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tau, ssa, asym, counts = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),     # seeds (mixed)
+            row(), row(), row(), row(), row(),          # alpha..clwp
+            row(), row(),                               # is0, is1
+            row(nbnd), row(nbnd), row(nbnd),            # ice coeffs
+            row(nbnd), row(nbnd), row(nbnd),            # liq coeffs
+        ],
+        out_specs=[gout, gout, gout,
+                   pl.BlockSpec((B, 4), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, 4), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, nsub, nlay), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(mix_seed_pairs(seeds), alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+      ext_i, scat_i, asy_i, ext_l, scat_l, asy_l)
+    swap = lambda x: jnp.swapaxes(x, 1, 2)
+    return swap(tau), swap(ssa), swap(asym), counts.astype(jnp.int32)

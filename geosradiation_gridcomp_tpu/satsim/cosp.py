@@ -260,9 +260,14 @@ def cosp_simulator(key, inp: SatsimInputs, config: SatsimConfig = None):
             pplay_s = regrid(play[:, None, :])[:, 0]
             st = lidar_stats(pnorm_s, pmol_s, lid["refl"],
                              inp.frland, pplay_s)
+            # undefined bins (below the model surface / no molecular
+            # signal): the reference's sc_ratio = R_UNDEF/R_UNDEF = 1.0
+            # is neither cloud (>5) nor attenuated (<=0.01), so such
+            # bins are effectively ignored (llnl_stats.F90:62-70);
+            # mirror that with an explicit 1.0 sentinel
             sr = jnp.where(pmol_s[:, None, :] > 0.0,
                            pnorm_s / jnp.maximum(pmol_s[:, None, :],
-                                                 1e-38), -1.0)
+                                                 1e-38), 1.0)
         else:
             st = lidar_stats(lid["pnorm"], lid["pmol"], lid["refl"],
                              inp.frland, play)
@@ -283,7 +288,15 @@ def cosp_simulator(key, inp: SatsimInputs, config: SatsimConfig = None):
         cf = radar_cfad(dbze)
         out["radar"] = {**rad, "cfad_dbze": cf}
         if sr is not None:
-            freq, tcc = lidar_only_freq_cloud(sr, dbze)
+            if cfg.use_vgrid:
+                # stat-grid profiles are ground-ascending; the
+                # first-attenuation scan walks top->surface
+                # (llnl_stats.F90:109), so flip, scan, flip back
+                freq, tcc = lidar_only_freq_cloud(sr[..., ::-1],
+                                                  dbze[..., ::-1])
+                freq = freq[..., ::-1]
+            else:
+                freq, tcc = lidar_only_freq_cloud(sr, dbze)
             out["radar"]["lidar_only_freq_cloud"] = freq
             out["radar"]["radar_lidar_tcc"] = tcc
 

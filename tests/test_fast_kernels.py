@@ -79,6 +79,66 @@ def test_taumol_sw_fast_matches_ref():
         assert _relmax(x, y) < 5e-6
 
 
+def test_spcvmc_pallas_interpret():
+    """spcvmc_fast (interpret mode) vs the jnp spcvmc_sw oracle."""
+    from geosradiation_gridcomp_tpu.models.rrtmg.cldprmc_sw import (
+        cldprmc_sw)
+    from geosradiation_gridcomp_tpu.models.rrtmg.spcvmc import spcvmc_sw
+    from geosradiation_gridcomp_tpu.models.rrtmg.spcvmc_pallas import (
+        spcvmc_fast)
+    from geosradiation_gridcomp_tpu.models.rrtmg.taumol_sw import (
+        taumol_sw)
+    from geosradiation_gridcomp_tpu.models.rrtmg.nrlssi2 import (
+        solar_source_weights)
+    from geosradiation_gridcomp_tpu.ops.mcica import (
+        generate_stochastic_clouds)
+    from geosradiation_gridcomp_tpu.models.rrtmg.tables_sw import NGPTSW
+
+    inp = example_inputs(ncol=8, nlev=72)
+    ncol = 8
+    play = 0.01 * 0.5 * (inp.ple[:, 1:] + inp.ple[:, :-1])
+    plev = inp.ple * 0.01
+    h2o = inp.qv / (1.0 - inp.qv) * (28.964 / 18.015)
+    o3 = inp.o3 * (28.964 / 47.998)
+    c = lambda v: jnp.full_like(play, v)
+    coefs = setcoef_sw(play, inp.t, plev, h2o, o3, c(4e-4), c(1.8e-6),
+                       c(0.2095))
+    svw = solar_source_weights(-1, 1361.0, None, None, None)
+    taug, taur, sfluxzen = taumol_sw(coefs, svw)
+
+    zm = lwmod.mid_heights(play, inp.t, inp.ple[:, -1])
+    dp = inp.ple[:, 1:] - inp.ple[:, :-1]
+    ciwp = 1000.0 * inp.qi * dp / 9.80665
+    clwp = 1000.0 * inp.ql * dp / 9.80665
+    cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
+        zm, inp.lats, 172.0, play, inp.fcld, ciwp, clwp, 1.0e-20,
+        nsubcol=NGPTSW, inhm=1, seed_order=(3, 2, 1, 0))
+    taucmc_gl, ssacmc_gl, asmcmc_gl, _ = cldprmc_sw(
+        cldy, ciwp_s, clwp_s, inp.ri, inp.rl, iceflag=3, liqflag=1)
+    swap = lambda x: jnp.swapaxes(x, -1, -2)
+    taucmc, ssacmc, asmcmc = map(swap, (taucmc_gl, ssacmc_gl, asmcmc_gl))
+    cldymc = swap(cldy)
+
+    mu0 = jnp.asarray(np.linspace(0.05, 0.95, ncol), jnp.float32)
+    albdir = jnp.full((ncol, 14), 0.15, jnp.float32)
+    albdif = jnp.full((ncol, 14), 0.22, jnp.float32)
+    taua = jnp.full((ncol, 72, 14), 0.02, jnp.float32)
+    ssaa = jnp.full((ncol, 72, 14), 0.9, jnp.float32)
+    asya = jnp.full((ncol, 72, 14), 0.6, jnp.float32)
+
+    a = spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
+                  cldymc, taucmc, ssacmc, asmcmc,
+                  taua=taua, ssaa=ssaa, asya=asya, adjflux=1.01)
+    b = spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
+                    cldymc, taucmc, ssacmc, asmcmc,
+                    taua=taua, ssaa=ssaa, asya=asya, adjflux=1.01,
+                    block_cols=8, interpret=True)
+    for k in a:
+        scale = np.abs(np.asarray(a[k])).max() + 1e-6
+        err = np.abs(np.asarray(a[k]) - np.asarray(b[k])).max()
+        assert err < 5e-4 * scale, (k, err, scale)
+
+
 def test_rtrnmc_pallas_interpret(lw_coefs):
     from geosradiation_gridcomp_tpu.models.rrtmg.cldprmc_lw import cldprmc_lw
     from geosradiation_gridcomp_tpu.models.rrtmg.rtrnmc import rtrnmc
