@@ -94,6 +94,37 @@ def scaling_main():
         "detail": rows}))
 
 
+def speed_of_light_cols_per_s(nlev=72, hbm_gbps=819.0):
+    """Memory-bandwidth speed-of-light estimate for this workload
+    (BASELINE.json criterion). Counts the per-g-point HBM traffic the
+    current fused design cannot avoid: LW taug+pfracs are written by
+    taumol and read twice by the two rtrnmc sweeps, taucmc written once
+    and read twice (9 cell-passes x 140 g); SW taug+taur (3 passes
+    each), the 3 cloud-optics fields (3 passes), and the 4 stored
+    adding-composites (1 write + 1 read) (26 x 112 g). Everything else
+    (column inputs, flux outputs, coefficients) is O(nlay) per column
+    and negligible. hbm_gbps: v5e HBM2 ~819 GB/s."""
+    lw_bytes = nlev * 140 * 9 * 4
+    sw_bytes = nlev * 112 * (3 * 2 + 3 * 3 + 4 * 2) * 4
+    per_col = lw_bytes + sw_bytes
+    return hbm_gbps * 1e9 / per_col
+
+
+def stages_main():
+    """Per-stage timing (LW full, SW full) so driver-captured benches
+    can attribute regressions without the offline tools."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "tools/profiling/stage_times2.py"],
+        capture_output=True, text=True,
+        cwd=__import__("os").path.dirname(__import__("os").path.abspath(
+            __file__)))
+    print(out.stdout[-4000:])
+    if out.returncode:
+        print(out.stderr[-2000:])
+
+
 def main():
     import jax
     from geosradiation_gridcomp_tpu.config import RadiationConfig
@@ -126,12 +157,24 @@ def main():
     cols_per_s = ncol / dt
     # no published reference throughput exists (BASELINE.md: none published);
     # vs_baseline reports against a 1e5 columns/s/chip design target.
+    # sol = the memory-bandwidth speed-of-light for this chip/workload
+    # (see speed_of_light_cols_per_s); the gap to it is algorithmic
+    # (gather/compute-bound taumol, VPU-bound McICA), not bandwidth.
     target = 1.0e5
+    sol = speed_of_light_cols_per_s(nlev)
+    fcld = np.asarray(inp.fcld)
     print(json.dumps({
         "metric": "columns_per_s_per_chip_rrtmg_swlw_allsky",
         "value": round(cols_per_s, 1),
         "unit": "columns/s",
         "vs_baseline": round(cols_per_s / target, 4),
+        "pct_of_mem_bw_speed_of_light": round(100 * cols_per_s / sol, 2),
+        "workload": {
+            "ncol": ncol, "nlev": nlev,
+            "cloudy_layer_fraction": round(float((fcld > 0).mean()), 3),
+            "mean_cldfrac_in_cloudy": round(
+                float(fcld[fcld > 0].mean()), 3),
+            "day_night": "mixed (lons span 0..6 rad)"},
     }))
 
 
@@ -139,5 +182,7 @@ if __name__ == "__main__":
     import sys
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--stages" in sys.argv:
+        stages_main()
     else:
         main()
