@@ -364,7 +364,7 @@ def _sfc_sel_mat():
 def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
                 cldymc, taucmc, ssacmc, asmcmc,
                 taua=None, ssaa=None, asya=None, adjflux=1.0,
-                block_cols=32, interpret=None):
+                block_cols=8, interpret=None):
     """Drop-in replacement for spcvmc.spcvmc_sw using Pallas kernels.
 
     Same contract as spcvmc_sw (TOA-first; albdir/albdif [ncol, 14]).

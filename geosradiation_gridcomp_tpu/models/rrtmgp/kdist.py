@@ -104,6 +104,104 @@ class KDistSW:
         return taug, taur, sflux
 
 
+def load_kdist_npz(path):
+    """Load a native k-distribution (tools/rrtmgp_ingest.py schema) into
+    the dict form the engine consumes, reassembling the minor blocks."""
+    raw = dict(np.load(path, allow_pickle=False))
+    data = {k: v for k, v in raw.items() if not k.startswith("minor_")}
+    for which in ("lower", "upper"):
+        pre = f"minor_{which}_"
+        keys = [k for k in raw if k.startswith(pre)]
+        data[f"minor_{which}"] = (
+            {k[len(pre):]: raw[k] for k in keys} if keys else None)
+    if "h2o_idx" not in data:
+        names = [str(s) for s in data["gas_names"]]
+        data["h2o_idx"] = np.int64(names.index("h2o") + 1)
+    return data
+
+
+class KDistLWNative:
+    """LW gas optics backed by the NATIVE interpolation engine
+    (gas_optics.py) driven by an ingested RRTMGP coefficient set -
+    the genuine ty_gas_optics_rrtmgp capability: arbitrary bands,
+    g-points, gases, flavors, and minor contributors.
+
+    Pair with rte_native.rte_lw_native for arbitrary band structures
+    (the shipped rte.rte_lw assumes the 16-band RRTMG layout).
+    """
+
+    def __init__(self, data):
+        if isinstance(data, (str, bytes)):
+            data = load_kdist_npz(data)
+        self.data = data
+
+    def source_is_external(self):
+        return False
+
+    def get_ngpt(self):
+        return int(self.data["kmajor"].shape[-1])
+
+    def get_nband(self):
+        return int(self.data["band_lims_gpt"].shape[0])
+
+    def get_band_lims_wavenumber(self):
+        return np.asarray(self.data["band_lims_wvn"])
+
+    def get_band_lims_gpoint(self):
+        return np.asarray(self.data["band_lims_gpt"])
+
+    def get_press_min(self):
+        return float(np.min(self.data["press_ref"]))
+
+    def get_temp_min(self):
+        return float(np.min(self.data["temp_ref"]))
+
+    def gas_optics(self, play_hpa, tlay, plev_hpa, tlev, tsfc, emis,
+                   gas_concs: GasConcs, dudts=False):
+        from .gas_optics import gas_optics_lw
+        del emis, dudts                 # dplankbnd_dts always computed
+        names = [str(s) for s in self.data["gas_names"]]
+        vmrs = {nm: gas_concs.get_vmr(nm, like=tlay) for nm in names}
+        return gas_optics_lw(self.data, play_hpa * 100.0, tlay,
+                             plev_hpa * 100.0, tlev, tsfc, vmrs)
+
+
+class KDistSWNative:
+    """SW counterpart of KDistLWNative (external solar source)."""
+
+    def __init__(self, data):
+        if isinstance(data, (str, bytes)):
+            data = load_kdist_npz(data)
+        self.data = data
+
+    def source_is_external(self):
+        return True
+
+    def get_ngpt(self):
+        return int(self.data["kmajor"].shape[-1])
+
+    def get_nband(self):
+        return int(self.data["band_lims_gpt"].shape[0])
+
+    def get_band_lims_wavenumber(self):
+        return np.asarray(self.data["band_lims_wvn"])
+
+    def get_band_lims_gpoint(self):
+        return np.asarray(self.data["band_lims_gpt"])
+
+    def set_solar_variability(self, mg, sb):
+        # native files carry quiet/facular/sunspot components; the
+        # shipped synthetic sets carry only the quiet sun
+        return self
+
+    def gas_optics(self, play_hpa, tlay, plev_hpa, gas_concs: GasConcs):
+        from .gas_optics import gas_optics_sw
+        names = [str(s) for s in self.data["gas_names"]]
+        vmrs = {nm: gas_concs.get_vmr(nm, like=tlay) for nm in names}
+        return gas_optics_sw(self.data, play_hpa * 100.0, tlay,
+                             plev_hpa * 100.0, vmrs)
+
+
 class KDistLW:
     """LW gas optics with an internal (Planck) source."""
 

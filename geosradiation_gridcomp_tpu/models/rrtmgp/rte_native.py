@@ -1,0 +1,105 @@
+"""Band-agnostic LW RTE for native k-distributions (rte_lw equivalent).
+
+The shipped rte.rte_lw delegates to the RRTMG rtrnmc internals, which
+hard-code the 16-band/140-g layout (band wavenumber widths, per-band
+secdiff fits). A NATIVE k-distribution (models/rrtmgp/gas_optics.py)
+can carry any band structure, so this module provides the generic
+no-scattering solve: linear-in-tau Planck sources per g-point, fixed
+diffusivity angle (RRTMGP's 1-angle default, secdiff = 1.66), surface
+emission + reflection, down then up scans as lax.scans over layers.
+
+Source units contract: sources["planklay"/"planklev"/"plankbnd"] are
+BAND-INTEGRATED Planck fluxes [W/m^2] (pi*B integrated over the band);
+g-point sources are pfracs * planck(band). RRTMGP's totplnk tables are
+in these units after the ingest tool's pass-through.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _tfn(od):
+    tr = jnp.exp(-od)
+    safe = jnp.maximum(od, 1e-9)
+    direct = 1.0 - 2.0 * (1.0 / safe - tr / jnp.maximum(1.0 - tr,
+                                                        1e-12))
+    return jnp.where(od < 0.06, od / 6.0, direct)
+
+
+def rte_lw_native(taug, sources, emis_bnd, band_lims_gpt,
+                  tau_cld=None, secdiff=1.66):
+    """Generic LW fluxes.
+
+    taug: [ncol, nlay, ngpt]; emis_bnd [ncol, nbnd];
+    band_lims_gpt [nbnd, 2] 1-based inclusive; tau_cld optional
+    [ncol, nlay, ngpt] (absorption).
+    Returns dict uflx/dflx/uflxc/dflxc [ncol, nlay+1] (W/m^2) and
+    olrb [ncol, nbnd].
+    """
+    ncol, nlay, ngpt = taug.shape
+    lims = np.asarray(band_lims_gpt)
+    nbnd = lims.shape[0]
+    gband = np.zeros(ngpt, np.int64)
+    for b in range(nbnd):
+        gband[lims[b, 0] - 1:lims[b, 1]] = b
+    e_bg = jnp.asarray(np.eye(nbnd, dtype=np.float32)[gband])
+
+    pf = sources["pfracs"]
+    lay_g = pf * sources["planklay"][..., gband]
+    lev_g = sources["planklev"][..., gband]      # [ncol, nlay+1, ngpt]
+    sfc_g = pf[:, -1, :] * sources["plankbnd"][..., gband]
+    emis_g = emis_bnd[..., gband]
+
+    tau_tot = taug if tau_cld is None else taug + tau_cld
+
+    # linear-in-tau Planck (rtrnmc method doc, rrtmg_lw_rtrnmc.F90:39-61):
+    # the source toward a boundary blends the boundary-level Planck with
+    # the layer mean via the pade-style tfn factor
+    odl = jnp.maximum(secdiff * tau_tot, 0.0)
+    a_all = 1.0 - jnp.exp(-odl)
+    tf_all = _tfn(odl)
+    odc = jnp.maximum(secdiff * taug, 0.0)
+    a_clr = 1.0 - jnp.exp(-odc)
+    tf_clr = _tfn(odc)
+    blev_below = lev_g[:, 1:, :] * pf
+    blev_above = lev_g[:, :-1, :] * pf
+
+    def fluxes(a, tf):
+        bbd = blev_below + tf * (lay_g - blev_below)
+        bbu = blev_above + tf * (lay_g - blev_above)
+
+        def down(carry, xs):
+            rad = carry
+            a_l, s_l = xs
+            rad = rad + (s_l - rad) * a_l
+            return rad, rad
+
+        a_l = jnp.moveaxis(a, 1, 0)
+        _, rad_dn = lax.scan(down, jnp.zeros((ncol, ngpt), a.dtype),
+                             (a_l, jnp.moveaxis(bbd, 1, 0)))
+        dflx_lev = jnp.concatenate(
+            [jnp.zeros((1, ncol, ngpt), a.dtype), rad_dn], axis=0)
+
+        rad_sfc = rad_dn[-1]
+        rad0 = emis_g * sfc_g + (1.0 - emis_g) * rad_sfc
+
+        def up(carry, xs):
+            rad = carry
+            a_l, s_l = xs
+            rad = rad + (s_l - rad) * a_l
+            return rad, rad
+
+        _, rad_up = lax.scan(up, rad0,
+                             (a_l[::-1], jnp.moveaxis(bbu, 1, 0)[::-1]))
+        uflx_lev = jnp.concatenate(
+            [rad_up[::-1], rad0[None]], axis=0)
+        dflx = jnp.sum(dflx_lev, axis=-1).T
+        uflx = jnp.sum(uflx_lev, axis=-1).T
+        olrb = jnp.dot(uflx_lev[0], e_bg)
+        return uflx, dflx, olrb
+
+    uflx, dflx, olrb = fluxes(a_all, tf_all)
+    uflxc, dflxc, _ = fluxes(a_clr, tf_clr)
+    return dict(uflx=uflx, dflx=dflx, uflxc=uflxc, dflxc=dflxc,
+                olrb=olrb)

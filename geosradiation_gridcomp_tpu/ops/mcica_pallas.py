@@ -311,7 +311,7 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
                                    "cloud_lm", "band_ng", "col_block"))
 def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                           absice, absliq, *, nsub, inhm, cwp_tiny,
-                          cloud_mh, cloud_lm, band_ng, col_block=16):
+                          cloud_mh, cloud_lm, band_ng, col_block=8):
     """Fused McICA + cloud-optics (see module banner).
 
     Args:
@@ -432,7 +432,7 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
 def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                           ext_i, scat_i, asy_i, ext_l, scat_l, asy_l,
                           *, nsub, inhm, cwp_tiny, cloud_mh,
-                          cloud_lm, band_ng, col_block=16):
+                          cloud_lm, band_ng, col_block=8):
     """Fused McICA + SW cloud optics with delta scaling.
 
     Args mirror mcica_optics_lw_fused; the 6 delta-folded coefficient
