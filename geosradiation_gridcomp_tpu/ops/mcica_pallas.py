@@ -20,11 +20,12 @@ Physics matched (same contracts as ops/mcica.py, citations there):
     deterministic + decomposition-invariant because each column seeds
     its own stream from the same state-derived integers.
   * condensate scaling zcw (cloud_condensate_inhomogeneity.F90:86-124):
-    evaluated by per-class piecewise-Chebyshev fits of the xcw tables
-    (segments chosen so the steep head and the discontinuous top bins
-    are exact): max abs deviation vs the bilinear table is 4.5e-3
-    (p99.9 = 6e-4), below the table's own 4-significant-digit
-    quantization scale; exact table lookups stay on the CPU oracle path.
+    one arcsin-warped deg-14 polynomial per sigma class (scalar Horner
+    coefficients - no per-segment selects), head/tail bins exact; max
+    abs deviation vs the bilinear table is 4.7e-3, on par with the
+    table's own 4-significant-digit quantization; exact table lookups
+    stay on the CPU oracle path, and the flux-level impact is gated by
+    tools/verify_tpu.py (fused_vs_oracle_meanflux).
   * cloud optical depth (rrtmg_lw_cldprmc.F90): per-band absorption
     coefficients are computed OUTSIDE (they depend only on col, layer),
     the per-g expansion happens in VMEM via static band slices.
