@@ -87,6 +87,7 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
     """
     plev = ple * 0.01
 
+    scope = jax.named_scope
     if jax.default_backend() == "tpu":
         # fused Pallas McICA + cloud-optics kernel: subcolumn draws,
         # overlap chains, zcw scaling, band->g optical depths, and the
@@ -94,17 +95,18 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
         # parity vs the jnp oracle is population-statistical by the
         # reference's own contract (cloud_subcol_gen.F90:24-31) and is
         # gated on-chip by tools/verify_tpu.py
-        alpha, rcorr = overlap_params(zm, alat, doy)
-        sigcls = _sigma_class(cldf)
-        seeds = jax.vmap(
-            lambda p: state_seed_ints(p, seed_order=(0, 1, 2, 3)))(play)
-        absi, absl = band_abs_coeffs_lw(rei, rel, iceflag=iceflag,
-                                        liqflag=liqflag)
-        taucmc, cloudy, counts = mcica_optics_lw_fused(
-            seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, absi, absl,
-            nsub=NGPTLW, inhm=inhm, cwp_tiny=1.0e-20,
-            cloud_mh=cloud_mh, cloud_lm=cloud_lm,
-            band_ng=tuple(int(g) for g in NG_LW))
+        with scope("lw.mcica_fused"):
+            alpha, rcorr = overlap_params(zm, alat, doy)
+            sigcls = _sigma_class(cldf)
+            seeds = jax.vmap(
+                lambda p: state_seed_ints(p, (0, 1, 2, 3)))(play)
+            absi, absl = band_abs_coeffs_lw(rei, rel, iceflag=iceflag,
+                                            liqflag=liqflag)
+            taucmc, cloudy, counts = mcica_optics_lw_fused(
+                seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, absi,
+                absl, nsub=NGPTLW, inhm=inhm, cwp_tiny=1.0e-20,
+                cloud_mh=cloud_mh, cloud_lm=cloud_lm,
+                band_ng=tuple(int(g) for g in NG_LW))
     else:
         cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
             zm, alat, doy, play, cldf, ciwp, clwp, 1.0e-20,
@@ -116,17 +118,21 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
                                        iceflag=iceflag, liqflag=liqflag)
         taucmc = jnp.swapaxes(taucmc_gl, -1, -2)  # [ncol, nlay, ngpt]
 
-    coefs = setcoef_lw(play, tlay, plev, tlev, tsfc, emis,
-                       h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr, o2vmr, covmr,
-                       cfc11vmr, cfc12vmr, cfc22vmr, ccl4vmr, dudts=dudts)
+    with scope("lw.setcoef"):
+        coefs = setcoef_lw(play, tlay, plev, tlev, tsfc, emis,
+                           h2ovmr, o3vmr, co2vmr, ch4vmr, n2ovmr, o2vmr,
+                           covmr, cfc11vmr, cfc12vmr, cfc22vmr, ccl4vmr,
+                           dudts=dudts)
 
-    taug, pfracs = taumol_lw(coefs, taua)
+    with scope("lw.taumol"):
+        taug, pfracs = taumol_lw(coefs, taua)
 
     # Pallas fused sweeps on TPU; the jnp scan (the oracle) elsewhere -
     # interpret-mode Pallas is far too slow for the CPU CI mesh
     rt = rtrnmc_fast if jax.default_backend() == "tpu" else rtrnmc
-    out = rt(emis, taug, pfracs, cloudy, taucmc,
-             coefs.planklay, coefs.planklev, coefs.plankbnd,
-             coefs.dplankbnd_dts, coefs.pwvcm, dudts=dudts)
+    with scope("lw.rtrnmc"):
+        out = rt(emis, taug, pfracs, cloudy, taucmc,
+                 coefs.planklay, coefs.planklev, coefs.plankbnd,
+                 coefs.dplankbnd_dts, coefs.pwvcm, dudts=dudts)
     out["clear_counts"] = counts
     return out

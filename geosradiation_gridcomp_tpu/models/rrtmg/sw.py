@@ -62,6 +62,7 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
     """
     plev = ple * 0.01
 
+    scope = jax.named_scope
     if jax.default_backend() == "tpu":
         # fused Pallas McICA + SW cloud optics (ops/mcica_pallas.py);
         # population-statistics parity with the jnp oracle, gated
@@ -93,11 +94,13 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
         asmcmc = swap(asmcmc_gl)
         cldymc = swap(cldy)
 
-    coefs = setcoef_sw(play, tlay, plev, h2ovmr, o3vmr, co2vmr, ch4vmr,
-                       o2vmr)
+    with scope("sw.setcoef"):
+        coefs = setcoef_sw(play, tlay, plev, h2ovmr, o3vmr, co2vmr,
+                           ch4vmr, o2vmr)
     svw = solar_source_weights(isolvar, scon, solcycfrac, indsolvar,
                                bndscl)
-    taug, taur, sfluxzen = taumol_sw(coefs, svw)
+    with scope("sw.taumol"):
+        taug, taur, sfluxzen = taumol_sw(coefs, svw)
 
     # band albedo vectors: bands 10-13 (UV/vis) use UV albedo; 14 and 1-9
     # NIR; band 9 is split in the reference's aggregation but albedo uses
@@ -111,12 +114,17 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
                        albdif_nir[:, None])
 
     # scon / isolvar scaling is already folded into sfluxzen via svw.
-    # Pallas fused solver on TPU; the jnp scan (the oracle) elsewhere
+    # The jnp solver is the production path on every backend: XLA's
+    # fusion of the elementwise PIFM optics + its pipelined scans runs
+    # 6.8 ms @2048x72 on v5e vs 64 ms for the hand-written streaming
+    # Pallas solver (spcvmc_pallas.spcvmc_fast, kept as an oracle-
+    # checked alternative) - measured round 3; see PROGRESS notes.
     adjflux = adjes
-    solver = spcvmc_fast if jax.default_backend() == "tpu" else spcvmc_sw
-    out = solver(coefs, taug, taur, sfluxzen, coszen, albdir, albdif,
-                 cldymc, taucmc, ssacmc, asmcmc,
-                 taua=taua, ssaa=ssaa, asya=asya, adjflux=adjflux)
+    with scope("sw.spcvmc"):
+        out = spcvmc_sw(coefs, taug, taur, sfluxzen, coszen, albdir,
+                        albdif, cldymc, taucmc, ssacmc, asmcmc,
+                        taua=taua, ssaa=ssaa, asya=asya,
+                        adjflux=adjflux)
     out["clear_counts"] = counts
     # zero out fluxes for night columns
     day = (coszen > 0.0).astype(taug.dtype)
