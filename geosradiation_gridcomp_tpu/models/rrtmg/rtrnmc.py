@@ -127,8 +127,10 @@ def rtrnmc(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
     radld_lev = jnp.concatenate([zero[None], radld_seq], axis=0)
     radclrd_lev = jnp.concatenate([zero[None], radclrd_seq], axis=0)
 
-    dflx = jnp.einsum("lcg,g->cl", radld_lev, delwave_g)
-    dflxc = jnp.einsum("lcg,g->cl", radclrd_lev, delwave_g)
+    dflx = jnp.einsum("lcg,g->cl", radld_lev, delwave_g,
+        precision="highest")
+    dflxc = jnp.einsum("lcg,g->cl", radclrd_lev, delwave_g,
+        precision="highest")
 
     # ---- surface ----
     pf_sfc = pfracs[:, -1, :]                     # bottom layer Planck fracs
@@ -167,12 +169,16 @@ def rtrnmc(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
     dlu_lev = jnp.concatenate([dlu_seq[::-1], d_rad0[None]], axis=0)
     dclru_lev = jnp.concatenate([dclru_seq[::-1], d_rad0[None]], axis=0)
 
-    uflx = jnp.einsum("lcg,g->cl", radlu_lev, delwave_g)
-    uflxc = jnp.einsum("lcg,g->cl", radclru_lev, delwave_g)
+    uflx = jnp.einsum("lcg,g->cl", radlu_lev, delwave_g,
+        precision="highest")
+    uflxc = jnp.einsum("lcg,g->cl", radclru_lev, delwave_g,
+        precision="highest")
     out = dict(uflx=uflx, dflx=dflx, uflxc=uflxc, dflxc=dflxc)
     if dudts:
-        out["duflx_dts"] = jnp.einsum("lcg,g->cl", dlu_lev, delwave_g)
-        out["duflxc_dts"] = jnp.einsum("lcg,g->cl", dclru_lev, delwave_g)
+        out["duflx_dts"] = jnp.einsum("lcg,g->cl", dlu_lev, delwave_g,
+        precision="highest")
+        out["duflxc_dts"] = jnp.einsum("lcg,g->cl", dclru_lev, delwave_g,
+        precision="highest")
     # band OLR: top-level radiances per band (OLRBRG export,
     # rrtmg_lw_rtrnmc.F90 band_output path)
     olrb = jnp.zeros((ncol, 16), dtype).at[:, _NGB].add(

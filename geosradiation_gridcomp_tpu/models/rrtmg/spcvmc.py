@@ -243,7 +243,8 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
 
     def agg(x, mask=None):
         wgt = zincflx if mask is None else zincflx * mask
-        return jnp.einsum("clg,cg->cl", x, wgt)
+        return jnp.einsum("clg,cg->cl", x, wgt,
+                          precision="highest")
 
     out = dict(
         bbcu=agg(fu_c), bbcd=agg(fd_c), bbcddir=agg(tdbt_c),
@@ -260,7 +261,8 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     sfc_up = fu_a[..., -1, :] * zincflx
 
     def band_sum(x, sel):
-        return jnp.einsum("cg,g->c", x, jnp.asarray(sel, dtype))
+        return jnp.einsum("cg,g->c", x, jnp.asarray(sel, dtype),
+                          precision="highest")
 
     nir_sel = ((ngb <= 8) | (ngb == 14)).astype(np.float32) \
         + 0.5 * (ngb == 9)
@@ -275,7 +277,9 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     out["uvrf"] = band_sum(sfc_tot, uvr_sel)
 
     onehot = jnp.asarray(np.eye(14, dtype=np.float32)[ngb - 1], dtype)
-    out["fndsbnd"] = (sfc_tot - sfc_up) @ onehot
-    out["drband"] = sfc_dir @ onehot
-    out["dfband"] = (sfc_tot - sfc_dir) @ onehot
+    hd = lambda a: jnp.einsum("cg,gb->cb", a, onehot,
+                          precision="highest")
+    out["fndsbnd"] = hd(sfc_tot - sfc_up)
+    out["drband"] = hd(sfc_dir)
+    out["dfband"] = hd(sfc_tot - sfc_dir)
     return out
