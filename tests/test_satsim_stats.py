@@ -98,3 +98,43 @@ def test_cosp_driver_stat_grid_shapes():
     cf = np.asarray(out["radar"]["cfad_dbze"])
     sums = cf.sum(axis=1)
     assert ((sums <= 1.0 + 1e-5)).all()
+
+
+def test_stat_grid_lidar_radar_undefined_bins_and_scan_direction():
+    """ADVICE r2 (high): on the stat grid, below-surface bins must be
+    ignored (the reference's sc_ratio = R_UNDEF/R_UNDEF = 1.0 is neither
+    cloud nor attenuated, llnl_stats.F90:62-70) and the first-attenuation
+    scan must walk top->surface even though the stat grid is
+    ground-ascending (llnl_stats.F90:109)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from geosradiation_gridcomp_tpu.satsim.radar import (
+        lidar_only_freq_cloud)
+
+    # ground-ascending bins 0..4; bin 0 undefined (sentinel 1.0 /
+    # R_UNDEF), bins 1-2 attenuated below the cloud, cloud at bin 3,
+    # clear above at bin 4
+    sr_asc = np.array([[[1.0, 0.005, 0.005, 20.0, 0.5]]], np.float32)
+    dbze_asc = np.array([[[-1.0e30, -100.0, -100.0, -100.0, -100.0]]],
+                        np.float32)
+    # the production path (satsim/cosp.py) flips to TOA-first
+    freq, tcc = lidar_only_freq_cloud(jnp.asarray(sr_asc[..., ::-1]),
+                                      jnp.asarray(dbze_asc[..., ::-1]))
+    freq = np.asarray(freq)[..., ::-1]
+    # cloud bin 3 counted; first attenuated bin FROM THE TOP is bin 2
+    # (credited as cloud top of the attenuating layer); bin 1 (second
+    # attenuated) and bin 0 (undefined) not counted
+    assert freq[0].tolist() == [0.0, 0.0, 1.0, 1.0, 0.0]
+    # had the scan run in ascending storage order, bin 1 would have
+    # been credited instead of bin 2
+    freq_wrong, _ = lidar_only_freq_cloud(jnp.asarray(sr_asc),
+                                          jnp.asarray(dbze_asc))
+    assert np.asarray(freq_wrong)[0].tolist() != freq[0].tolist()
+    # the undefined bin must not force tcc to 1 by itself
+    sr_clear = np.array([[[1.0, 0.5, 0.5, 0.5, 0.5]]], np.float32)
+    dbze_clear = np.array(
+        [[[-1.0e30, -100.0, -100.0, -100.0, -100.0]]], np.float32)
+    _, tcc_clear = lidar_only_freq_cloud(
+        jnp.asarray(sr_clear[..., ::-1]),
+        jnp.asarray(dbze_clear[..., ::-1]))
+    assert float(tcc_clear[0]) == 0.0
