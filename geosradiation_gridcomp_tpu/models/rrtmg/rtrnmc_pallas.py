@@ -89,9 +89,11 @@ def _make_down_kernel():
 
         for i in range(_LPS):
             blay_g = jnp.dot(play_ref[:, i, :], e16.T,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision="highest")
             dpl_g = jnp.dot(plevn_ref[:, i, :] - play_ref[:, i, :], e16.T,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                             precision="highest")
             a_eff, bbd_eff, agas, bbdgas = _layer_terms(
                 secd_ref[:], taug_ref[:, i, :], pfr_ref[:, i, :],
                 tcm_ref[:, i, :], blay_g, dpl_g)
@@ -133,11 +135,14 @@ def _make_up_kernel(i_sfc, dudts):
             # inside this (possibly padded) chunk
             pf_sfc = pfr_ref[:, i_sfc, :]
             rad0 = pf_sfc * jnp.dot(pbnd_ref[:], e16.T,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                             precision="highest")
             refl_g = jnp.dot(1.0 - semiss_ref[:], e16.T,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision="highest")
             d0 = pf_sfc * jnp.dot(dpbnd_ref[:], e16.T,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                             precision="highest")
             radlu[:] = rad0 + refl_g * rsfc_ref[:]
             radclru[:] = rad0 + refl_g * rcsfc_ref[:]
             dlu[:] = d0
@@ -151,9 +156,11 @@ def _make_up_kernel(i_sfc, dudts):
         divany = divany_ref[:] > 0.0
         for i in reversed(range(_LPS)):
             blay_g = jnp.dot(play_ref[:, i, :], e16.T,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision="highest")
             dpl_g = jnp.dot(plevt_ref[:, i, :] - play_ref[:, i, :], e16.T,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                             precision="highest")
             a_eff, bbu_eff, agas, bbugas = _layer_terms(
                 secd_ref[:], taug_ref[:, i, :], pfr_ref[:, i, :],
                 tcm_ref[:, i, :], blay_g, dpl_g)
@@ -177,10 +184,12 @@ def _make_up_kernel(i_sfc, dudts):
         @pl.when(l == nsteps - 1)
         def _():
             olrb_ref[:] = jnp.dot(radlu[:] * dw, e16,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                             precision="highest")
             if dudts:
                 dolrb_ref[:] = jnp.dot(dlu[:] * dw, e16,
-                                       preferred_element_type=jnp.float32)
+                                       preferred_element_type=jnp.float32,
+                             precision="highest")
     return kernel
 
 

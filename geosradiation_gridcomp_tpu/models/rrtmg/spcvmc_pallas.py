@@ -349,11 +349,14 @@ def _make_down_kernel(band_g0):
             # per field (14 band one-hots + nir/par/uvr selections)
             s17 = s17_ref[:]
             dir17_ref[:] = jnp.dot(sdir_a, s17,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                         precision="highest")
             tot17_ref[:] = jnp.dot(sfd_a, s17,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                         precision="highest")
             up17_ref[:] = jnp.dot(sfu_a, s17,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                         precision="highest")
     return kernel
 
 
