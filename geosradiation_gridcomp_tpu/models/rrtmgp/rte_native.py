@@ -103,3 +103,66 @@ def rte_lw_native(taug, sources, emis_bnd, band_lims_gpt,
     uflxc, dflxc, _ = fluxes(a_clr, tf_clr)
     return dict(uflx=uflx, dflx=dflx, uflxc=uflxc, dflxc=dflxc,
                 olrb=olrb)
+
+
+def rte_sw_native(taug, taur, toa_src, mu0, alb_dir_bnd, alb_dif_bnd,
+                  band_lims_gpt, tau_cld=None, ssa_cld=None,
+                  g_cld=None):
+    """Band-agnostic SW two-stream + adding for native k-distributions.
+
+    The PIFM layer R/T (reftra_sw) and the vrtqdr adding scans in
+    models/rrtmg/spcvmc.py are already g-count-agnostic; only the band
+    maps there are hard-coded, so this wrapper supplies generic ones.
+
+    taug/taur [ncol, nlay, ngpt]; toa_src [ncol, ngpt] (W/m^2 per gpt at
+    overhead sun); mu0 [ncol]; albedos [ncol, nbnd]; cloud optics
+    optional [ncol, nlay, ngpt]. Returns flux_dn/flux_up/flux_dir,
+    flux_dn_clr/flux_up_clr [ncol, nlay+1] plus band_dn_sfc
+    [ncol, nbnd].
+    """
+    from ..rrtmg.spcvmc import reftra_sw, vrtqdr_sw
+
+    ncol, nlay, ngpt = taug.shape
+    lims = np.asarray(band_lims_gpt)
+    nbnd = lims.shape[0]
+    gband = np.zeros(ngpt, np.int64)
+    for b in range(nbnd):
+        gband[lims[b, 0] - 1:lims[b, 1]] = b
+    e_bg = jnp.asarray(np.eye(nbnd, dtype=np.float32)[gband])
+    mu0c = jnp.maximum(mu0, 1e-4)
+
+    ref_sfc_dir = alb_dir_bnd[..., gband]
+    ref_sfc_dif = alb_dif_bnd[..., gband]
+    zincflx = toa_src * mu0c[:, None]
+
+    def solve(tau, w, g):
+        ref, tra, refd, trad = reftra_sw(tau, w, g, mu0c)
+        dbt = jnp.exp(-jnp.minimum(tau / mu0c[:, None, None], 500.0))
+        tdbt = jnp.concatenate(
+            [jnp.ones_like(dbt[..., :1, :]),
+             jnp.cumprod(dbt, axis=-2)], axis=-2)
+        fd, fu = vrtqdr_sw(ref, tra, refd, trad, ref_sfc_dir,
+                           ref_sfc_dif, dbt, tdbt)
+        return fd, fu, tdbt
+
+    w_clr = taur / jnp.maximum(taug + taur, 1e-30)
+    fd_c, fu_c, dir_c = solve(taug + taur, w_clr, jnp.zeros_like(taug))
+
+    if tau_cld is None:
+        fd_a, fu_a, dir_a = fd_c, fu_c, dir_c
+    else:
+        tt = taug + taur + tau_cld
+        scat = taur + ssa_cld * tau_cld
+        g_all = (g_cld * ssa_cld * tau_cld) / jnp.maximum(scat, 1e-30)
+        w_all = scat / jnp.maximum(tt, 1e-30)
+        fd_a, fu_a, dir_a = solve(tt, w_all, g_all)
+
+    agg = lambda x: jnp.einsum("clg,cg->cl", x, zincflx,
+                               precision="highest")
+    out = dict(flux_dn=agg(fd_a), flux_up=agg(fu_a),
+               flux_dir=agg(dir_a),
+               flux_dn_clr=agg(fd_c), flux_up_clr=agg(fu_c))
+    out["band_dn_sfc"] = jnp.einsum(
+        "cg,gb->cb", fd_a[:, -1, :] * zincflx, e_bg,
+        precision="highest")
+    return out
