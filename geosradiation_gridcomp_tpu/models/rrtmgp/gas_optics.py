@@ -49,6 +49,7 @@ from jax import lax
 
 PA2HPA = 0.01
 M_DRY = 0.028964
+M_H2O = 0.018016
 AVOGAD = 6.02214076e23
 GRAV = 9.80665
 
@@ -58,10 +59,17 @@ GRAV = 9.80665
 # ---------------------------------------------------------------------
 
 def column_gas(plev_pa, vmr, h2ovmr):
-    """Column amount [molec/cm^2] of a gas with vmr [ncol, nlay]."""
-    dp = plev_pa[:, 1:] - plev_pa[:, :-1]
-    col_dry = 0.1 * dp / (GRAV * M_DRY) * AVOGAD * 1e-4 \
-        / (1.0 + h2ovmr)
+    """Column amount [molec/cm^2] of a gas with vmr [ncol, nlay].
+
+    RRTMGP molec/cm^2 convention (rte-rrtmgp get_col_dry): moist-air
+    molar mass, then divide the total column by (1 + h2ovmr) for the
+    dry-air count. A 1013.25 hPa dry column gives ~2.148e25 molec/cm^2
+    (pinned by tests/test_rrtmgp_engine.py, cross-checked against
+    models/rrtmg/setcoef_lw.py coldry).
+    """
+    dp = jnp.abs(plev_pa[:, 1:] - plev_pa[:, :-1])
+    m_air = (M_DRY + M_H2O * h2ovmr) / (1.0 + h2ovmr)
+    col_dry = dp / (GRAV * m_air) * AVOGAD * 1e-4 / (1.0 + h2ovmr)
     return col_dry * vmr, col_dry
 
 
@@ -226,17 +234,24 @@ def tau_minor(data, st: InterpState, play_pa, tlay, which, dtype):
                 frac = st.col_gas[int(sgas[m])] \
                     / jnp.maximum(col_dry, 1e-60) * dry_fact
                 scaling = scaling * ((1.0 - frac) if sbc[m] else frac)
-        # flavor for this contributor's band: use the gpt_flavor of its
-        # first g-point in the matching atmosphere
+        # flavor is resolved PER G-POINT (mo_gas_optics_rrtmgp
+        # gpoint_flavor): group the contributor's g-points by flavor;
+        # standard coefficient sets keep one flavor per minor range, so
+        # this static loop is almost always a single iteration
         gpt_flavor = np.asarray(data["gpoint_flavor"], np.int64)
-        fl = int(gpt_flavor[0 if in_lower else 1, g1]) - 1
+        fls = gpt_flavor[0 if in_lower else 1, g1:g2] - 1   # [nk]
         kflat = jnp.asarray(km.reshape(ntemp * neta, nk), dtype)
         acc = jnp.zeros(st.ftemp.shape + (nk,), dtype)
-        for dt in range(2):
-            w0, w1 = st.fminor(fl, dt)
-            base = (st.jtemp + dt) * neta + st.jeta[fl][dt]
-            acc = acc + w0[..., None] * _gather_rows(kflat, base) \
-                + w1[..., None] * _gather_rows(kflat, base + 1)
+        for fl in np.unique(fls):
+            sel = jnp.asarray((fls == fl).astype(np.float32), dtype)
+            acc_fl = jnp.zeros(st.ftemp.shape + (nk,), dtype)
+            for dt in range(2):
+                w0, w1 = st.fminor(int(fl), dt)
+                base = (st.jtemp + dt) * neta + st.jeta[int(fl)][dt]
+                acc_fl = acc_fl + w0[..., None] * _gather_rows(kflat,
+                                                               base) \
+                    + w1[..., None] * _gather_rows(kflat, base + 1)
+            acc = acc + acc_fl * sel
         contrib = (scaling * mask.astype(dtype))[..., None] * acc
         tau = tau.at[..., g1:g2].add(contrib)
     return tau
@@ -295,8 +310,11 @@ def planck_source(data, st: InterpState, tlay, tlev, tsfc, dtype):
     planklay = plint(tlay)
     planklev = plint(tlev)
     plankbnd = plint(tsfc)
-    eps = 1.0
-    dplankbnd_dts = (plint(tsfc + eps) - plankbnd) / eps
+    # analytic slope of the active piecewise-linear segment (a one-sided
+    # finite difference can straddle two segments near a table node)
+    idx_s = jnp.clip(jnp.floor((tsfc - t0) / dtp).astype(jnp.int32), 0,
+                     npt - 2)
+    dplankbnd_dts = (totplnk[idx_s + 1] - totplnk[idx_s]) / dtp
     return pfrac, planklay, planklev, plankbnd, dplankbnd_dts
 
 

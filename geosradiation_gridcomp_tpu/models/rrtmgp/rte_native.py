@@ -118,7 +118,8 @@ def rte_sw_native(taug, taur, toa_src, mu0, alb_dir_bnd, alb_dif_bnd,
     overhead sun); mu0 [ncol]; albedos [ncol, nbnd]; cloud optics
     optional [ncol, nlay, ngpt]. Returns flux_dn/flux_up/flux_dir,
     flux_dn_clr/flux_up_clr [ncol, nlay+1] plus band_dn_sfc
-    [ncol, nbnd].
+    [ncol, nbnd]. Night columns (mu0 <= 0) return zero fluxes, matching
+    rrtmg_sw (models/rrtmg/sw.py day masking).
     """
     from ..rrtmg.spcvmc import reftra_sw, vrtqdr_sw
 
@@ -157,12 +158,13 @@ def rte_sw_native(taug, taur, toa_src, mu0, alb_dir_bnd, alb_dif_bnd,
         w_all = scat / jnp.maximum(tt, 1e-30)
         fd_a, fu_a, dir_a = solve(tt, w_all, g_all)
 
-    agg = lambda x: jnp.einsum("clg,cg->cl", x, zincflx,
-                               precision="highest")
+    day = (mu0 > 0.0).astype(taug.dtype)
+    agg = lambda x: day[:, None] * jnp.einsum(
+        "clg,cg->cl", x, zincflx, precision="highest")
     out = dict(flux_dn=agg(fd_a), flux_up=agg(fu_a),
                flux_dir=agg(dir_a),
                flux_dn_clr=agg(fd_c), flux_up_clr=agg(fu_c))
-    out["band_dn_sfc"] = jnp.einsum(
+    out["band_dn_sfc"] = day[:, None] * jnp.einsum(
         "cg,gb->cb", fd_a[:, -1, :] * zincflx, e_bg,
         precision="highest")
     return out

@@ -324,3 +324,69 @@ def test_ingest_roundtrip(tmp_path):
     assert d["kmajor"].shape == (NT, NE, NP + 1, NGPT)
     assert int(d["h2o_idx"]) == 1
     assert d["minor_lower_gas_idx"][0] == 3
+
+
+def test_col_dry_absolute_value_and_setcoef_crosscheck():
+    """Pin the molec/cm^2 convention (ADVICE r3 high): a 1013.25 hPa
+    dry column holds ~2.148e25 molec/cm^2, and column_gas must agree
+    with the RRTMG setcoef coldry formula for moist air."""
+    plev = jnp.asarray([[101325.0, 0.0]])
+    _, col_dry = go.column_gas(plev, jnp.ones((1, 1)),
+                               jnp.zeros((1, 1)))
+    expect = 101325.0 / (9.80665 * 0.028964) * 6.02214076e23 * 1e-4
+    assert abs(float(col_dry[0, 0]) / expect - 1.0) < 1e-6
+    assert 2.1e25 < float(col_dry[0, 0]) < 2.2e25
+
+    # moist cross-check vs models/rrtmg/setcoef_lw.py:87-90
+    # (coldry = dpz_hPa * 1e3 * AVOGAD / (1e2 * GRAV * amm * (1+h2o)))
+    h2o = jnp.full((1, 1), 5e-3)
+    _, col_moist = go.column_gas(plev, jnp.ones((1, 1)), h2o)
+    AMD, AMW = 28.9660, 18.0160
+    amm = (1.0 - 5e-3) * AMD + 5e-3 * AMW
+    setcoef_val = 1013.25 * 1e3 * 6.02214076e23 / (
+        1e2 * 9.80665 * amm * (1.0 + 5e-3))
+    # conventions differ slightly (mass-weighted vs mole-fraction moist
+    # molar mass, AMD 28.966 vs 28.964): agreement to ~1e-2 is the
+    # contract; a 10x error is what this test guards against
+    assert abs(float(col_moist[0, 0]) / setcoef_val - 1.0) < 1e-2
+
+
+def test_dplankbnd_dts_is_segment_slope():
+    """dplankbnd_dts must be the analytic slope of the active totplnk
+    segment, not a 1 K finite difference straddling a node."""
+    data = make_kdist(constant_k=1e-22)
+    ncol, nlay = 2, 3
+    play = jnp.full((ncol, nlay), 5e4)
+    plev = jnp.linspace(1e5, 1e3, nlay + 1)[None, :].repeat(ncol, 0)
+    tlay = jnp.full((ncol, nlay), 250.0)
+    tlev = jnp.full((ncol, nlay + 1), 250.0)
+    vmrs = {g: jnp.full((ncol, nlay), 1e-4) for g in GASES}
+    tref = np.asarray(data["temp_ref_planck"], np.float64)
+    dtp = tref[1] - tref[0]
+    # tsfc 0.3 K below a node: the old one-sided secant spanned two
+    # segments; the analytic slope equals the local segment slope
+    tsfc = jnp.full((ncol,), float(tref[3]) - 0.3)
+    _, src = go.gas_optics_lw(data, play, tlay, plev, tlev, tsfc, vmrs)
+    totplnk = np.asarray(data["totplnk"], np.float64)
+    expect = (totplnk[3] - totplnk[2]) / dtp
+    np.testing.assert_allclose(np.asarray(src["dplankbnd_dts"][0]),
+                               expect, rtol=1e-5)
+
+
+def test_sw_native_night_columns_zeroed():
+    """rte_sw_native zeroes night columns like rrtmg_sw (ADVICE r3)."""
+    from geosradiation_gridcomp_tpu.models.rrtmgp.rte_native import (
+        rte_sw_native)
+    ncol, nlay, ngpt = 4, 6, NGPT
+    taug = jnp.full((ncol, nlay, ngpt), 0.1)
+    taur = jnp.full((ncol, nlay, ngpt), 0.02)
+    src = jnp.full((ncol, ngpt), 10.0)
+    mu0 = jnp.asarray([0.8, 0.0, -0.3, 0.5])
+    alb = jnp.full((ncol, NBND), 0.2)
+    lims = np.array([[1, 8], [9, 16]], np.int64)
+    out = rte_sw_native(taug, taur, src, mu0, alb, alb, lims)
+    for k in ("flux_dn", "flux_up", "flux_dir", "flux_dn_clr",
+              "flux_up_clr", "band_dn_sfc"):
+        v = np.asarray(out[k])
+        assert np.all(v[1] == 0.0) and np.all(v[2] == 0.0), k
+        assert v[0].max() > 0.0 and v[3].max() > 0.0, k
