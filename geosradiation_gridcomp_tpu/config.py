@@ -61,6 +61,16 @@ class RadiationConfig:
     trace_gases: bool = True                # Chou LW `trace`
     ts_derivs: bool = True                  # LW dF/dTs Jacobians
 
+    # RRTMGP coefficient files (the reference's SOLAR_DATA/IRRAD_DATA
+    # resources naming rrtmgp-gas-sw-*.nc / rrtmgp-gas-lw-*.nc,
+    # GEOS_SolarGridComp.F90:4609-4621, GEOS_IrradGridComp.F90:2151+):
+    # paths to npz sets produced by tools/rrtmgp_ingest.py. When set and
+    # the scheme is RRTMGP, fluxes run through the NATIVE interpolation
+    # engine (models/rrtmgp/gas_optics.py); when None, the RRTMG-reduced
+    # facade backs the RRTMGP API.
+    rrtmgp_kdist_sw: str = None
+    rrtmgp_kdist_lw: str = None
+
     # Lazy diagnostics (the reference's associated-pointer idiom: exports
     # are computed only when a consumer requests them,
     # GEOS_RadiationGridComp.F90:743-785). This static set feeds jit

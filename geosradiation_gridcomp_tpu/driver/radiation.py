@@ -164,7 +164,8 @@ def _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
                         taua=taua, ssaa=ssaa, asya=asya,
                         iceflag=config.iceflag_sw,
                         liqflag=config.liqflag_sw,
-                        inhm=config.condensate_inhomogeneity)
+                        inhm=config.condensate_inhomogeneity,
+                        kdist_path=config.rrtmgp_kdist_sw)
         s0 = config.effective_scon() * jnp.maximum(cosz, 1e-6)
         inv = jnp.where(cosz > 0.0, 1.0 / s0, 0.0)
         nv = lambda x: x * inv.reshape((-1,) + (1,) * (x.ndim - 1))
@@ -288,7 +289,11 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
             olrb=zb, dolrb_dts=zb,
             flxa=out["flxad"] + out["flxau"],
             fla=out["flad"] + out["flau"],
-            dfdtsna=out["dfdts"], dfdtscna=out["dfdts"])
+            # GEOS_IrradGridComp.F90:2105-2109 — "Chou-Suarez does not
+            # provide these derivatives": DFDTSC=0, DFDTSNA=DFDTS,
+            # DFDTSCNA=DFDTSC(=0)
+            dfdtsna=out["dfdts"],
+            dfdtscna=jnp.zeros_like(out["dfdts"]))
 
     if config.lw_scheme == Scheme.RRTMGP:
         ncol = inp.t.shape[0]
@@ -305,7 +310,8 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
                         iceflag=config.iceflag_lw,
                         liqflag=config.liqflag_lw,
                         inhm=config.condensate_inhomogeneity,
-                        dudts=config.ts_derivs)
+                        dudts=config.ts_derivs,
+                        kdist_path=config.rrtmgp_kdist_lw)
         net = out["flux_dn"] - out["flux_up"]
         dfdts = -out["duflx_dts"] if config.ts_derivs \
             else jnp.zeros_like(net)
@@ -321,9 +327,12 @@ def irrad_refresh(inp: AtmosInputs, doy, config: RadiationConfig,
             dolrb_dts=(out["dolrb_dts"]
                        if config.ts_derivs and wants_olrb else zb),
             # the RRTMGP LW path takes no aerosol optics; no-aerosol
-            # fluxes alias the all-sky ones
+            # fluxes alias the all-sky ones, and DFDTSCNA aliases the
+            # clear-sky derivative (GEOS_IrradGridComp.F90:3127,3556)
             flxa=net, fla=out["flux_dn_clr"] - out["flux_up_clr"],
-            dfdtsna=dfdts, dfdtscna=dfdts)
+            dfdtsna=dfdts,
+            dfdtscna=(-out["duflxc_dts"] if config.ts_derivs
+                      else jnp.zeros_like(net)))
 
     ncol = inp.t.shape[0]
     emis16 = jnp.broadcast_to(inp.emis[:, None], (ncol, 16))

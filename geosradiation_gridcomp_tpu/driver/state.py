@@ -57,7 +57,9 @@ class IrradState(NamedTuple):
     fla: jnp.ndarray         # clear-sky net, no aerosol
     dfdtsna: jnp.ndarray     # d(net no-aerosol)/dTs
     # clear-sky no-aerosol derivative (DFDTSCNA,
-    # GEOS_IrradGridComp.F90:3871); Chou aliases dfdts (:3555)
+    # GEOS_IrradGridComp.F90:3871); RRTMG aliases the clear-sky
+    # derivative (:3556 DFDTSCNA=DFDTSC), Chou zeroes it (:2107-2109
+    # "Chou-Suarez does not provide these derivatives")
     dfdtscna: jnp.ndarray
 
 

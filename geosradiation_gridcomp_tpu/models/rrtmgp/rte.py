@@ -112,4 +112,5 @@ def rte_lw(taug, sources, sfc_emis, tau_cld=None, cld_mask=None,
                 flux_up_clr=out["uflxc"], flux_dn_clr=out["dflxc"],
                 olrb=out["olrb"],
                 **({"duflx_dts": out["duflx_dts"],
+                    "duflxc_dts": out["duflxc_dts"],
                     "dolrb_dts": out["dolrb_dts"]} if dudts else {}))

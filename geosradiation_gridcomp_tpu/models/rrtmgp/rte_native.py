@@ -28,14 +28,18 @@ def _tfn(od):
 
 
 def rte_lw_native(taug, sources, emis_bnd, band_lims_gpt,
-                  tau_cld=None, secdiff=1.66):
+                  tau_cld=None, secdiff=1.66, dudts=False):
     """Generic LW fluxes.
 
     taug: [ncol, nlay, ngpt]; emis_bnd [ncol, nbnd];
     band_lims_gpt [nbnd, 2] 1-based inclusive; tau_cld optional
     [ncol, nlay, ngpt] (absorption).
     Returns dict uflx/dflx/uflxc/dflxc [ncol, nlay+1] (W/m^2) and
-    olrb [ncol, nbnd].
+    olrb [ncol, nbnd]; with dudts, also duflx_dts/duflxc_dts
+    [ncol, nlay+1] and dolrb_dts [ncol, nbnd] — the analytic upward
+    Jacobian: d(rad0)/dTs = emis*pfrac_sfc*dplankbnd_dts attenuated by
+    prod(1-a) toward TOA (the same Ts-only linearization the reference
+    stores as DUFLX_DT, rrtmg_lw_rad.F90 duflx_dt output).
     """
     ncol, nlay, ngpt = taug.shape
     lims = np.asarray(band_lims_gpt)
@@ -64,6 +68,9 @@ def rte_lw_native(taug, sources, emis_bnd, band_lims_gpt,
     tf_clr = _tfn(odc)
     blev_below = lev_g[:, 1:, :] * pf
     blev_above = lev_g[:, :-1, :] * pf
+
+    dsfc_g = (emis_g * pf[:, -1, :]
+              * sources["dplankbnd_dts"][..., gband]) if dudts else None
 
     def fluxes(a, tf):
         bbd = blev_below + tf * (lay_g - blev_below)
@@ -97,17 +104,31 @@ def rte_lw_native(taug, sources, emis_bnd, band_lims_gpt,
         dflx = jnp.sum(dflx_lev, axis=-1).T
         uflx = jnp.sum(uflx_lev, axis=-1).T
         olrb = jnp.dot(uflx_lev[0], e_bg)
-        return uflx, dflx, olrb
+        if not dudts:
+            return uflx, dflx, olrb, None, None
+        # Ts Jacobian: the surface perturbation dsfc_g propagates up
+        # attenuated by (1-a) per layer (rad' = rad*(1-a) + src*a)
+        trn = jnp.concatenate(
+            [jnp.cumprod((1.0 - a)[:, ::-1, :], axis=1)[:, ::-1, :],
+             jnp.ones_like(a[:, :1, :])], axis=1)  # [ncol, nlay+1, ngpt]
+        du_g = dsfc_g[:, None, :] * trn
+        duflx = jnp.sum(du_g, axis=-1)
+        dolrb = jnp.dot(du_g[:, 0, :], e_bg)
+        return uflx, dflx, olrb, duflx, dolrb
 
-    uflx, dflx, olrb = fluxes(a_all, tf_all)
-    uflxc, dflxc, _ = fluxes(a_clr, tf_clr)
-    return dict(uflx=uflx, dflx=dflx, uflxc=uflxc, dflxc=dflxc,
-                olrb=olrb)
+    uflx, dflx, olrb, duflx, dolrb = fluxes(a_all, tf_all)
+    uflxc, dflxc, _, duflxc, _ = fluxes(a_clr, tf_clr)
+    out = dict(uflx=uflx, dflx=dflx, uflxc=uflxc, dflxc=dflxc,
+               olrb=olrb)
+    if dudts:
+        out.update(duflx_dts=duflx, duflxc_dts=duflxc,
+                   dolrb_dts=dolrb)
+    return out
 
 
 def rte_sw_native(taug, taur, toa_src, mu0, alb_dir_bnd, alb_dif_bnd,
                   band_lims_gpt, tau_cld=None, ssa_cld=None,
-                  g_cld=None):
+                  g_cld=None, tau_aer=None, ssa_aer=None, g_aer=None):
     """Band-agnostic SW two-stream + adding for native k-distributions.
 
     The PIFM layer R/T (reftra_sw) and the vrtqdr adding scans in
@@ -146,15 +167,31 @@ def rte_sw_native(taug, taur, toa_src, mu0, alb_dir_bnd, alb_dif_bnd,
                            ref_sfc_dif, dbt, tdbt)
         return fd, fu, tdbt
 
-    w_clr = taur / jnp.maximum(taug + taur, 1e-30)
-    fd_c, fu_c, dir_c = solve(taug + taur, w_clr, jnp.zeros_like(taug))
+    # aerosols (band-resolved [ncol, nlay, nbnd], expanded to g-points)
+    # enter BOTH sky states — "clear" means cloud-free, aerosol-laden
+    # (GEOS_SolarGridComp aerosol optics added to clear + all-sky)
+    base_tau, base_scat, base_asym = taug + taur, taur, 0.0
+    if tau_aer is not None:
+        ta_g = tau_aer[..., gband]
+        sa_g = (ssa_aer if ssa_aer is not None
+                else jnp.zeros_like(tau_aer))[..., gband]
+        ga_g = (g_aer if g_aer is not None
+                else jnp.zeros_like(tau_aer))[..., gband]
+        base_tau = base_tau + ta_g
+        base_scat = base_scat + sa_g * ta_g
+        base_asym = ga_g * sa_g * ta_g
+    w_clr = base_scat / jnp.maximum(base_tau, 1e-30)
+    g_clr = base_asym / jnp.maximum(base_scat, 1e-30) \
+        if tau_aer is not None else jnp.zeros_like(taug)
+    fd_c, fu_c, dir_c = solve(base_tau, w_clr, g_clr)
 
     if tau_cld is None:
         fd_a, fu_a, dir_a = fd_c, fu_c, dir_c
     else:
-        tt = taug + taur + tau_cld
-        scat = taur + ssa_cld * tau_cld
-        g_all = (g_cld * ssa_cld * tau_cld) / jnp.maximum(scat, 1e-30)
+        tt = base_tau + tau_cld
+        scat = base_scat + ssa_cld * tau_cld
+        g_all = (base_asym + g_cld * ssa_cld * tau_cld) \
+            / jnp.maximum(scat, 1e-30)
         w_all = scat / jnp.maximum(tt, 1e-30)
         fd_a, fu_a, dir_a = solve(tt, w_all, g_all)
 

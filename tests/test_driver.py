@@ -103,6 +103,27 @@ def test_chou_scheme_config(stepped):
                            inp.ple, 172.0, 12.0, config=cfg)
     olr = np.asarray(out["lw"]["olr"])
     assert np.all(olr > 120.0) and np.all(olr < 340.0)
+    # Chou provides no clear-sky Ts derivative: DFDTSC=0 and
+    # DFDTSCNA=DFDTSC (GEOS_IrradGridComp.F90:2105-2109), while the
+    # all-sky no-aerosol derivative aliases dfdts
+    assert np.all(np.asarray(irr.dfdtscna) == 0.0)
+    np.testing.assert_array_equal(np.asarray(irr.dfdtsna),
+                                  np.asarray(irr.dfdts))
+
+
+def test_rrtmgp_dfdtscna_is_clear_sky(stepped):
+    """RRTMGP LW path: DFDTSCNA aliases the clear-sky derivative
+    (GEOS_IrradGridComp.F90:3127,3556), distinct from the all-sky one
+    in cloudy columns."""
+    prof, inp = make_inputs(ncol=4)
+    cfg = RadiationConfig(sw_scheme=Scheme.RRTMGP, lw_scheme=Scheme.RRTMGP)
+    sol, irr = radiation_refresh(inp, 172.0, 12.0, config=cfg,
+                                 ict=prof["ict"], icb=prof["icb"])
+    d = np.asarray(irr.dfdtscna)
+    assert np.all(np.isfinite(d)) and np.any(d != 0.0)
+    # clear-sky |dF/dTs| >= all-sky at the surface (clouds shield)
+    assert np.all(np.abs(d[:, -1]) >= np.abs(np.asarray(irr.dfdtsna)[:, -1])
+                  - 1e-6)
 
 
 def test_column_sharding_8_devices():
