@@ -124,8 +124,14 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
                            covmr, cfc11vmr, cfc12vmr, cfc22vmr, ccl4vmr,
                            dudts=dudts)
 
+    # fused transposed-space Pallas kernel on TPU (~3.4x the gather
+    # engine); the jnp gather engine (the oracle) elsewhere
     with scope("lw.taumol"):
-        taug, pfracs = taumol_lw(coefs, taua)
+        if jax.default_backend() == "tpu":
+            from .taumol_lw_pallas import taumol_lw_fast
+            taug, pfracs = taumol_lw_fast(coefs, taua)
+        else:
+            taug, pfracs = taumol_lw(coefs, taua)
 
     # Pallas fused sweeps on TPU; the jnp scan (the oracle) elsewhere -
     # interpret-mode Pallas is far too slow for the CPU CI mesh

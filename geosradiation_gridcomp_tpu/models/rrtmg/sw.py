@@ -99,8 +99,14 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
                            ch4vmr, o2vmr)
     svw = solar_source_weights(isolvar, scon, solcycfrac, indsolvar,
                                bndscl)
+    # fused transposed-space Pallas kernel on TPU (~2.6x the gather
+    # engine); the jnp gather engine (the oracle) elsewhere
     with scope("sw.taumol"):
-        taug, taur, sfluxzen = taumol_sw(coefs, svw)
+        if jax.default_backend() == "tpu":
+            from .taumol_sw_pallas import taumol_sw_pallas
+            taug, taur, sfluxzen = taumol_sw_pallas(coefs, svw)
+        else:
+            taug, taur, sfluxzen = taumol_sw(coefs, svw)
 
     # band albedo vectors: bands 10-13 (UV/vis) use UV albedo; 14 and 1-9
     # NIR; band 9 is split in the reference's aggregation but albedo uses

@@ -445,7 +445,6 @@ def _onehot_sum_sw(tab, ind, frac, shape):
 
 def taumol_sw_fast(c, svw=None):
     """Fast-path taumol_sw: same contract as taumol_sw_ref."""
-    t = sw_tables()
     ncol, nlay = c.jp.shape
 
     def fl(x):
@@ -457,8 +456,13 @@ def taumol_sw_fast(c, svw=None):
     taug, taur = _taumol_sw_gas(cf)
     taug = taug.reshape(ncol, nlay, -1)
     taur = taur.reshape(ncol, nlay, -1)
+    return taug, taur, sfluxzen_only(c, svw)
 
-    # solar source per column (cheap; needs the layer axis for laysolfr)
+
+def sfluxzen_only(c, svw=None):
+    """Solar source per column (cheap; needs the layer axis for
+    laysolfr). [ncol, 112]."""
+    t = sw_tables()
     sflux_parts = []
     for band in range(16, 30):
         bi = band - 16
@@ -487,8 +491,7 @@ def taumol_sw_fast(c, svw=None):
         else:
             sflux = jnp.broadcast_to(sref, c.jp.shape[:-1] + (ng,))
         sflux_parts.append(sflux)
-    sfluxzen = jnp.concatenate(sflux_parts, axis=-1)
-    return taug, taur, sfluxzen
+    return jnp.concatenate(sflux_parts, axis=-1)
 
 
 taumol_sw = taumol_sw_fast

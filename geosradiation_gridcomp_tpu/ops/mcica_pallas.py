@@ -292,20 +292,33 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
             cdf1, keep1, cdf3, keep3, *,
             nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
             band_g0, fit):
-    cldy, ciwp_s, clwp_s = _gen_subcols(
-        seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
-        cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
-        inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
+    def cloudy_blk():
+        cldy, ciwp_s, clwp_s = _gen_subcols(
+            seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+            cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
+            inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
 
-    gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay), 1)
-    absi_g = _band_to_g(absi, band_g0, gband)
-    absl_g = _band_to_g(absl, band_g0, gband)
-    tau = jnp.where(cldy & (ciwp_s > 0.0), ciwp_s * absi_g, 0.0) \
-        + jnp.where(cldy & (clwp_s > 0.0), clwp_s * absl_g, 0.0)
+        gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay),
+                                         1)
+        absi_g = _band_to_g(absi, band_g0, gband)
+        absl_g = _band_to_g(absl, band_g0, gband)
+        tau = jnp.where(cldy & (ciwp_s > 0.0), ciwp_s * absi_g, 0.0) \
+            + jnp.where(cldy & (clwp_s > 0.0), clwp_s * absl_g, 0.0)
 
-    tau_out[:] = jnp.swapaxes(tau, 1, 2)
-    cloudy_out[:] = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=1)
-    _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
+        tau_out[:] = jnp.swapaxes(tau, 1, 2)
+        cloudy_out[:] = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=1)
+        _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
+
+    def clear_blk():
+        # with cldf == 0 everywhere the cloudy mask is identically
+        # false (uniform draws < 1 = 1 - cldf), so outputs are exact:
+        # no subcolumn generation needed (rrtmg_sw_rad.F90:1130-1204's
+        # clear/cloudy split, expressed as a block-level skip)
+        tau_out[:] = jnp.zeros_like(tau_out)
+        cloudy_out[:] = jnp.zeros_like(cloudy_out)
+        counts_out[:] = jnp.full_like(counts_out, float(nsub))
+
+    jax.lax.cond(jnp.max(cldf[:]) > 0.0, cloudy_blk, clear_blk)
 
 
 @partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",
@@ -395,37 +408,49 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
     water paths. The delta-scaling algebra is folded into the 6 per-band
     coefficient planes (delta_band_coeffs_sw), so per g-point the
     kernel is six water-path multiplies + the cloudy-cell guards."""
-    cldy, ciwp_s, clwp_s = _gen_subcols(
-        seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
-        cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
-        inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
+    def cloudy_blk():
+        cldy, ciwp_s, clwp_s = _gen_subcols(
+            seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
+            cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
+            inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
 
-    gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay), 1)
-    eg = lambda f: _band_to_g(f, band_g0, gband)
+        gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay),
+                                         1)
+        eg = lambda f: _band_to_g(f, band_g0, gband)
 
-    # cwp is zero outside cloudy cells, so no per-phase masking is
-    # needed on the products (has_ice/has_liq of the oracle)
-    tauice = ciwp_s * eg(ext_i)
-    tauliq = clwp_s * eg(ext_l)
-    scatliq = clwp_s * eg(scat_l)
-    scatice = jnp.maximum(ciwp_s * eg(scat_i),
-                          jnp.where(cldy, _CLDMIN, 0.0))
-    taucmc = tauliq + tauice
-    taucmc = jnp.where(cldy & (taucmc == 0.0), _CLDMIN, taucmc)
-    ssacmc = jnp.where(
-        cldy, (scatliq + scatice) / jnp.maximum(taucmc, _CLDMIN), 1.0)
-    asy_num = clwp_s * eg(asy_l) + ciwp_s * eg(asy_i)
-    scat_tot = jnp.maximum(scatliq + scatice, 1e-30)
-    asmcmc = jnp.where(cldy, asy_num / scat_tot, 0.0)
-    taucmc = jnp.where(cldy, taucmc, 0.0)
+        # cwp is zero outside cloudy cells, so no per-phase masking is
+        # needed on the products (has_ice/has_liq of the oracle)
+        tauice = ciwp_s * eg(ext_i)
+        tauliq = clwp_s * eg(ext_l)
+        scatliq = clwp_s * eg(scat_l)
+        scatice = jnp.maximum(ciwp_s * eg(scat_i),
+                              jnp.where(cldy, _CLDMIN, 0.0))
+        taucmc = tauliq + tauice
+        taucmc = jnp.where(cldy & (taucmc == 0.0), _CLDMIN, taucmc)
+        ssacmc = jnp.where(
+            cldy, (scatliq + scatice) / jnp.maximum(taucmc, _CLDMIN),
+            1.0)
+        asy_num = clwp_s * eg(asy_l) + ciwp_s * eg(asy_i)
+        scat_tot = jnp.maximum(scatliq + scatice, 1e-30)
+        asmcmc = jnp.where(cldy, asy_num / scat_tot, 0.0)
+        taucmc = jnp.where(cldy, taucmc, 0.0)
 
-    # emit in generation layout [B, nsub, nlay]; the (cheap, XLA-fused)
-    # transpose to [ncol, nlay, nsub] happens outside - three in-kernel
-    # transposes blow the Mosaic VMEM stack budget
-    tau_out[:] = taucmc
-    ssa_out[:] = ssacmc
-    asm_out[:] = asmcmc
-    _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
+        # emit in generation layout [B, nsub, nlay]; the (cheap,
+        # XLA-fused) transpose to [ncol, nlay, nsub] happens outside -
+        # three in-kernel transposes blow the Mosaic VMEM stack budget
+        tau_out[:] = taucmc
+        ssa_out[:] = ssacmc
+        asm_out[:] = asmcmc
+        _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
+
+    def clear_blk():
+        # exact for cldf == 0 blocks (see _kernel.clear_blk)
+        tau_out[:] = jnp.zeros_like(tau_out)
+        ssa_out[:] = jnp.ones_like(ssa_out)
+        asm_out[:] = jnp.zeros_like(asm_out)
+        counts_out[:] = jnp.full_like(counts_out, float(nsub))
+
+    jax.lax.cond(jnp.max(cldf[:]) > 0.0, cloudy_blk, clear_blk)
 
 
 @partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",

@@ -79,6 +79,35 @@ def test_taumol_sw_fast_matches_ref():
         assert _relmax(x, y) < 5e-6
 
 
+def test_taumol_lw_pallas_interpret(lw_coefs):
+    """Transposed-space Pallas taumol-LW (interpret mode) vs the gather
+    engine: bf16x3 parity <= 1e-4 relative."""
+    from geosradiation_gridcomp_tpu.models.rrtmg.taumol_lw_pallas import (
+        taumol_lw_fast)
+    *_, coefs = lw_coefs
+    tg_f, pf_f = taumol_lw_fast(coefs, interpret=True)
+    tg_r, pf_r = taumol_lw(coefs)
+    assert _relmax(tg_f, tg_r) < 1e-4
+    assert _relmax(pf_f, pf_r) < 1e-4
+
+
+def test_taumol_sw_pallas_interpret():
+    from geosradiation_gridcomp_tpu.models.rrtmg.taumol_sw_pallas import (
+        taumol_sw_pallas)
+    inp = example_inputs(ncol=8, nlev=72)
+    play = 0.01 * 0.5 * (inp.ple[:, 1:] + inp.ple[:, :-1])
+    plev = inp.ple * 0.01
+    h2o = inp.qv / (1.0 - inp.qv) * (28.964 / 18.015)
+    o3 = inp.o3 * (28.964 / 47.998)
+    c = lambda v: jnp.full_like(play, v)
+    coefs = setcoef_sw(play, inp.t, plev, h2o, o3, c(4e-4), c(1.8e-6),
+                       c(0.2095))
+    a = taumol_sw_ref(coefs)
+    b = taumol_sw_pallas(coefs, interpret=True)
+    for x, y in zip(b, a):
+        assert _relmax(x, y) < 1e-4
+
+
 def test_spcvmc_pallas_interpret():
     """spcvmc_fast (interpret mode) vs the jnp spcvmc_sw oracle."""
     from geosradiation_gridcomp_tpu.models.rrtmg.cldprmc_sw import (

@@ -109,6 +109,11 @@ def main():
                        c(4e-4), c(1.8e-6), c(3.2e-7), c(0.209), c(0.0),
                        c(2e-10), c(4e-10), c(1e-10), c(0.0), dudts=True)
     taug, pfracs = taumol_lw(coefs)
+    from geosradiation_gridcomp_tpu.models.rrtmg.taumol_lw_pallas import \
+        taumol_lw_fast
+    tg_f, pf_f = jax.jit(taumol_lw_fast)(coefs)
+    gate("taumol_lw_fast.taug", _relmax(tg_f, taug), 5e-4)
+    gate("taumol_lw_fast.pfracs", _relmax(pf_f, pfracs), 5e-4)
     cldy, ciwp_s, clwp_s = mcica.generate_stochastic_clouds(
         zm, inp.lats, 172.0, play, inp.fcld, ciwp, clwp, 1.0e-20,
         nsubcol=NGPTLW, inhm=1, seed_order=(0, 1, 2, 3))
@@ -126,6 +131,11 @@ def main():
                         c(0.2095))
     svw = solar_source_weights(-1, 1361.0, None, None, None)
     tg_s, tr_s, sflux = taumol_sw(scoefs, svw)
+    from geosradiation_gridcomp_tpu.models.rrtmg.taumol_sw_pallas import \
+        taumol_sw_pallas
+    tg_p, tr_p, _ = jax.jit(lambda sc: taumol_sw_pallas(sc, svw))(scoefs)
+    gate("taumol_sw_pallas.taug", _relmax(tg_p, tg_s), 5e-4)
+    gate("taumol_sw_pallas.taur", _relmax(tr_p, tr_s), 5e-4)
     cldy2, ci2, cl2 = mcica.generate_stochastic_clouds(
         zm, inp.lats, 172.0, play, inp.fcld, ciwp, clwp, 1.0e-20,
         nsubcol=NGPTSW, inhm=1, seed_order=(3, 2, 1, 0))
