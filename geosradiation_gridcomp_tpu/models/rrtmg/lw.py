@@ -85,6 +85,26 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
     Returns dict: uflx, dflx, uflxc, dflxc [ncol, nlay+1] (W/m^2, positive),
     duflx_dts, duflxc_dts, olrb [ncol, 16], clear_counts [ncol, 4].
     """
+    # cloudy-first column sort (TPU): clear columns then cluster into
+    # whole kernel blocks, engaging the McICA clear-block skip — the
+    # reference's clear/cloudy column split (rrtmg_sw_rad.F90:1130-1204)
+    # as a permutation. Per-column physics (and per-column RNG seeds,
+    # derived from play) is order-invariant, so outputs are identical;
+    # only the small [ncol, nlay+1]-scale outputs pay the unpermute.
+    sort_clear = jax.default_backend() == "tpu"
+    if sort_clear:
+        perm = jnp.argsort(jnp.logical_not((cldf > 0.0).any(axis=1)),
+                           stable=True)
+        inv = jnp.argsort(perm)
+        pc = lambda x: None if x is None else x[perm]
+        (ple, play, tlay, tlev, tsfc, emis, h2ovmr, o3vmr, co2vmr,
+         ch4vmr, n2ovmr, o2vmr, covmr, cfc11vmr, cfc12vmr, cfc22vmr,
+         ccl4vmr, cldf, ciwp, clwp, rei, rel, zm, alat, taua) = map(
+            pc, (ple, play, tlay, tlev, tsfc, emis, h2ovmr, o3vmr,
+                 co2vmr, ch4vmr, n2ovmr, o2vmr, covmr, cfc11vmr,
+                 cfc12vmr, cfc22vmr, ccl4vmr, cldf, ciwp, clwp, rei,
+                 rel, zm, alat, taua))
+
     plev = ple * 0.01
 
     scope = jax.named_scope
@@ -141,4 +161,6 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
                  coefs.planklay, coefs.planklev, coefs.plankbnd,
                  coefs.dplankbnd_dts, coefs.pwvcm, dudts=dudts)
     out["clear_counts"] = counts
+    if sort_clear:
+        out = {k: v[inv] for k, v in out.items()}
     return out

@@ -60,6 +60,23 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
     up/down), bbcu/bbcd (clear), direct components, UV/NIR band profiles,
     surface band fluxes, clear_counts.
     """
+    # cloudy-first column sort (see lw.py): clusters clear columns into
+    # whole kernel blocks so the McICA clear-block skip engages;
+    # per-column physics is order-invariant
+    sort_clear = jax.default_backend() == "tpu"
+    if sort_clear:
+        perm = jnp.argsort(jnp.logical_not((cldf > 0.0).any(axis=1)),
+                           stable=True)
+        inv = jnp.argsort(perm)
+        pc = lambda x: None if x is None else x[perm]
+        (ple, play, tlay, coszen, albdir_uv, albdif_uv, albdir_nir,
+         albdif_nir, h2ovmr, o3vmr, co2vmr, ch4vmr, o2vmr, cldf, ciwp,
+         clwp, rei, rel, zm, alat, taua, ssaa, asya) = map(
+            pc, (ple, play, tlay, coszen, albdir_uv, albdif_uv,
+                 albdir_nir, albdif_nir, h2ovmr, o3vmr, co2vmr, ch4vmr,
+                 o2vmr, cldf, ciwp, clwp, rei, rel, zm, alat, taua,
+                 ssaa, asya))
+
     plev = ple * 0.01
 
     scope = jax.named_scope
@@ -138,4 +155,6 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
         if k == "clear_counts":
             continue
         out[k] = v * day.reshape((-1,) + (1,) * (v.ndim - 1))
+    if sort_clear:
+        out = {k: v[inv] for k, v in out.items()}
     return out

@@ -98,9 +98,9 @@ def rte_lw_native(taug, sources, emis_bnd, band_lims_gpt,
             return rad, rad
 
         _, rad_up = lax.scan(up, rad0,
-                             (a_l[::-1], jnp.moveaxis(bbu, 1, 0)[::-1]))
-        uflx_lev = jnp.concatenate(
-            [rad_up[::-1], rad0[None]], axis=0)
+                             (a_l, jnp.moveaxis(bbu, 1, 0)),
+                             reverse=True)
+        uflx_lev = jnp.concatenate([rad_up, rad0[None]], axis=0)
         dflx = jnp.sum(dflx_lev, axis=-1).T
         uflx = jnp.sum(uflx_lev, axis=-1).T
         olrb = jnp.dot(uflx_lev[0], e_bg)
