@@ -125,6 +125,60 @@ def stages_main():
         print(out.stderr[-2000:])
 
 
+def staged_main():
+    """BASELINE config 4 evidence: steady-state throughput with
+    host->device input staging OVERLAPPED with compute (StagedFeed /
+    run_steps_overlapped) vs the serial transfer->compute->block loop,
+    streaming distinct host-resident batches through the full refresh."""
+    import jax
+    from geosradiation_gridcomp_tpu.config import RadiationConfig
+    from geosradiation_gridcomp_tpu.driver.step import radiation_refresh
+    from geosradiation_gridcomp_tpu.parallel.distributed import (
+        run_steps_overlapped)
+    from __graft_entry__ import _example_inputs
+
+    env = __import__("os").environ
+    ncol = int(env.get("BENCH_NCOL", "4096"))
+    nbatch = int(env.get("BENCH_NBATCH", "8"))
+    nlev = 72
+    cfg = RadiationConfig()
+    # distinct host-resident (numpy) batches: every step really stages
+    # its inputs over PCIe; seeds differ so no transfer is elided
+    batches = [jax.tree_util.tree_map(
+        np.asarray, _example_inputs(ncol=ncol, nlev=nlev, seed=s))
+        for s in range(nbatch)]
+    pmid = 0.5 * (batches[0].ple[0, 1:] + batches[0].ple[0, :-1])
+    ict, icb = cfg.superlayer_indices(pmid)
+
+    def step(inp):
+        return radiation_refresh(inp, 172.0, 12.0, config=cfg, ict=ict,
+                                 icb=icb)
+
+    # warmup / compile
+    out = step(jax.device_put(batches[0]))
+    jax.block_until_ready((out[0].flxn, out[1].flx))
+
+    t0 = time.perf_counter()
+    outs = run_steps_overlapped(step, batches)
+    jax.block_until_ready([(s.flxn, i.flx) for s, i in outs])
+    dt_ov = (time.perf_counter() - t0) / nbatch
+
+    t0 = time.perf_counter()
+    for b in batches:
+        sol, irr = step(jax.device_put(b))
+        jax.block_until_ready((sol.flxn, irr.flx))
+    dt_serial = (time.perf_counter() - t0) / nbatch
+
+    print(json.dumps({
+        "metric": "staged_overlap_cols_per_s",
+        "value": round(ncol / dt_ov, 1),
+        "unit": "columns/s",
+        "vs_baseline": round((ncol / dt_ov) / 1.0e5, 4),
+        "serial_cols_per_s": round(ncol / dt_serial, 1),
+        "overlap_speedup": round(dt_serial / dt_ov, 3),
+        "workload": {"ncol": ncol, "nlev": nlev, "nbatch": nbatch}}))
+
+
 def main():
     import jax
     from geosradiation_gridcomp_tpu.config import RadiationConfig
@@ -182,6 +236,8 @@ if __name__ == "__main__":
     import sys
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--staged" in sys.argv:
+        staged_main()
     elif "--stages" in sys.argv:
         stages_main()
     else:

@@ -394,6 +394,65 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
     return tau, cloudy > 0.0, counts.astype(jnp.int32)
 
 
+def _kernel_raw(seeds, alpha, rcorr, cldf,
+                cloudy_out, v3_out,
+                cdf1, keep1, cdf3, keep3, *, nsub, nlay, ncolb):
+    """Verification-only kernel: emit the raw subcolumn draws (the
+    presence mask and the forward-filled condensate cdf) so the zcw
+    polynomial fit can be A/B-tested against the exact table with
+    IDENTICAL hardware-PRNG realizations (VERDICT r3 next #5a)."""
+    f32 = jnp.float32
+
+    def gen(i, _):
+        pltpu.prng_seed(seeds[i, 0], seeds[i, 1])
+        c1 = _uniform((nsub, nlay))
+        c2 = _uniform((nsub, nlay))
+        c2b = _uniform((nsub, nlay))
+        c3 = _uniform((nsub, nlay))
+        cdf1[i] = c1
+        keep1[i] = (c2 >= alpha[i, :][None, :]).astype(f32)
+        cdf3[i] = c3
+        keep3[i] = (c2b >= rcorr[i, :][None, :]).astype(f32)
+        return 0
+
+    jax.lax.fori_loop(0, ncolb, gen, 0, unroll=False)
+    v1 = _ffill(cdf1[:], keep1[:], nlay)
+    cloudy_out[:] = (v1 >= 1.0 - cldf[:][:, None, :]).astype(f32)
+    v3_out[:] = _ffill(cdf3[:], keep3[:], nlay)
+
+
+@partial(jax.jit, static_argnames=("nsub", "col_block"))
+def mcica_subcols_raw(seeds, alpha, rcorr, cldf, *, nsub, col_block=8):
+    """Raw subcolumn draws with the production kernel's PRNG streams.
+
+    Returns (cloudy [ncol, nsub, nlay] f32, v3 [ncol, nsub, nlay] f32)
+    where v3 is the forward-filled condensate cdf the zcw scaling is
+    evaluated at. Used only by tools/verify_tpu.py for the same-RNG
+    zcw fit-vs-table A/B gate."""
+    ncol, nlay = cldf.shape
+    B = min(col_block, ncol)
+    assert ncol % B == 0
+    kern = partial(_kernel_raw, nsub=nsub, nlay=nlay, ncolb=B)
+    row = pl.BlockSpec((B, nlay), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    gout = pl.BlockSpec((B, nsub, nlay), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(ncol // B,),
+        in_specs=[pl.BlockSpec((B, 2), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+                  row, row, row],
+        out_specs=[gout, gout],
+        out_shape=[jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
+                   jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, nsub, nlay), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(mix_seed_pairs(seeds), alpha, rcorr, cldf)
+
+
 _CLDMIN = 1.0e-20
 
 

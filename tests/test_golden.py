@@ -64,8 +64,12 @@ def _run_scheme(scheme, inp):
         from geosradiation_gridcomp_tpu.models.chou_sw import chou_sw
         return chou_sw(
             *(jnp.asarray(inp[k]) for k in (
-                "ple", "ta", "wa", "oa", "co2", "cwc", "fcld", "reff",
-                "cosz", "rsuvbm", "rsuvdf", "rsirbm", "rsirdf")),
+                "cosz", "ple", "ta", "wa", "oa", "co2", "cwc", "fcld",
+                "reff")),
+            rsuvbm=jnp.asarray(inp["rsuvbm"]),
+            rsuvdf=jnp.asarray(inp["rsuvdf"]),
+            rsirbm=jnp.asarray(inp["rsirbm"]),
+            rsirdf=jnp.asarray(inp["rsirdf"]),
             ict=int(inp["ict"]), icb=int(inp["icb"]))
     raise ValueError(scheme)
 

@@ -202,6 +202,93 @@ def main():
         # would appear as a persistent offset far above this
         gate(f"fused_vs_oracle_meanflux.{k} (W/m2)", err, 3.0)
 
+    # ---- clear-sky END-TO-END: production TPU pipeline vs jnp oracle --
+    # Clear-sky RRTMG is deterministic (no subcolumn draws matter), so
+    # the full compiled production path (fused taumol + rtrnmc Pallas
+    # kernels, clear-block McICA skip, cloudy-first sort) must match the
+    # jnp oracle pipeline ELEMENTWISE (VERDICT r3 next #5b).
+    z2 = jnp.zeros_like(inp.fcld)
+    out_p = lwmod.rrtmg_lw(
+        inp.ple, play, inp.t, tlev, inp.ts, emis, h2o, o3,
+        c(4e-4), c(1.8e-6), c(3.2e-7), c(0.209), c(0.0),
+        c(2e-10), c(4e-10), c(1e-10), c(0.0),
+        z2, z2, z2, inp.ri, inp.rl, zm, inp.lats, 172.0,
+        cloud_mh=28, cloud_lm=47)
+    taucmc0 = jnp.zeros((ncol, nlev, NGPTLW))
+    cloudy0 = jnp.zeros((ncol, nlev), bool)
+    out_c = rt.rtrnmc(emis, taug, pfracs, cloudy0, taucmc0,
+                      coefs.planklay, coefs.planklev, coefs.plankbnd,
+                      coefs.dplankbnd_dts, coefs.pwvcm, dudts=True)
+    for k in ("uflx", "dflx", "duflx_dts"):
+        gate(f"clearsky_e2e_lw.{k}", _relmax(out_p[k], out_c[k]), 5e-5)
+
+    from geosradiation_gridcomp_tpu.models.rrtmg import sw as swmod
+    mu0d = jnp.clip(jnp.cos(inp.lats), 0.05, 1.0)
+    outs_p = swmod.rrtmg_sw(
+        inp.ple, play, inp.t, mu0d, inp.albvr, inp.albvf, inp.albnr,
+        inp.albnf, h2o, o3, c(4e-4), c(1.8e-6), c(0.2095),
+        z2, z2, z2, inp.ri, inp.rl, zm, inp.lats, 172.0,
+        cloud_mh=28, cloud_lm=47)
+    uvband = np.zeros(14, bool)
+    uvband[9:13] = True                     # bands 10-13 (1-based)
+    abd = jnp.where(jnp.asarray(uvband), inp.albvr[:, None],
+                    inp.albnr[:, None])
+    abf = jnp.where(jnp.asarray(uvband), inp.albvf[:, None],
+                    inp.albnf[:, None])
+    tc0 = jnp.zeros((ncol, nlev, NGPTSW))
+    cy0 = jnp.zeros((ncol, nlev, NGPTSW), bool)
+    outs_c = spcvmc_sw(scoefs, tg_s, tr_s, sflux, mu0d, abd, abf,
+                       cy0, tc0, tc0, tc0)
+    for k in ("bbfu", "bbfd", "bbcu", "bbcd"):
+        gate(f"clearsky_e2e_sw.{k}", _relmax(outs_p[k], outs_c[k]), 5e-5)
+
+    # ---- same-RNG zcw A/B: polynomial fit vs exact table -------------
+    # identical hardware-PRNG realizations through mcica_subcols_raw;
+    # the only difference between the two flux sets is the in-kernel
+    # arcsin-warped polynomial vs the bilinear table, so the mean-flux
+    # delta IS the systematic fit bias (VERDICT r3 next #5a) - no
+    # realization noise in the comparison.
+    from geosradiation_gridcomp_tpu.ops.mcica_pallas import (
+        mcica_subcols_raw, _zcw_fit, _zcw_eval, _class_columns)
+    cldy_raw, v3 = mcica_subcols_raw(seeds, alpha, rcorr, inp.fcld,
+                                     nsub=NGPTLW)
+    is0p = (np.asarray(sigcls) == 0)[:, None, :]
+    is1p = (np.asarray(sigcls) == 1)[:, None, :]
+    zfit = np.asarray(_zcw_eval(jnp.asarray(v3),
+                                (jnp.asarray(is0p), jnp.asarray(is1p)),
+                                _zcw_fit(1)))
+    colsv = _class_columns(1).astype(np.float32)          # (3, 1000)
+    v = np.asarray(v3)
+    rind1 = v * 999.0 + 1.0
+    idx = np.clip(np.floor(rind1).astype(np.int32), 1, 999)
+    f1 = (rind1 - idx).astype(np.float32)
+    zex = np.zeros_like(v)
+    clsn = np.asarray(sigcls)
+    for cc in range(3):
+        vals = colsv[cc][idx - 1] + f1 * (colsv[cc][idx]
+                                          - colsv[cc][idx - 1])
+        zex = np.where((clsn == cc)[:, None, :], vals, zex)
+    cw = np.asarray(cldy_raw) > 0.0
+    fluxes = {}
+    for name, zcw in (("fit", zfit), ("exact", zex)):
+        ci_s = np.where(cw, np.asarray(ciwp)[:, None, :] * zcw, 0.0)
+        cl_s = np.where(cw, np.asarray(clwp)[:, None, :] * zcw, 0.0)
+        ci_s = np.where(ci_s <= 1e-20, 0.0, ci_s).astype(np.float32)
+        cl_s = np.where(cl_s <= 1e-20, 0.0, cl_s).astype(np.float32)
+        cldy_ab = cw & ((ci_s > 0.0) | (cl_s > 0.0))
+        tau_gl, cldy_col = cldprmc_lw(
+            jnp.asarray(cldy_ab), jnp.asarray(ci_s), jnp.asarray(cl_s),
+            inp.ri, inp.rl)
+        o = rt.rtrnmc(emis, taug, pfracs, cldy_col,
+                      jnp.swapaxes(tau_gl, -1, -2), coefs.planklay,
+                      coefs.planklev, coefs.plankbnd,
+                      coefs.dplankbnd_dts, coefs.pwvcm, dudts=False)
+        fluxes[name] = {k: np.asarray(o[k]).mean(axis=0)
+                        for k in ("uflx", "dflx")}
+    for k in ("uflx", "dflx"):
+        err = float(np.abs(fluxes["fit"][k] - fluxes["exact"][k]).max())
+        gate(f"zcw_fit_ab_same_rng.{k} (W/m2)", err, 0.1)
+
     report["ok"] = ok
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "VERIFY_TPU.json"), "w") as f:
