@@ -142,3 +142,34 @@ def test_column_sharding_8_devices():
                                np.asarray(sol_ref.flxn), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(irr_sh.flx),
                                np.asarray(irr_ref.flx), rtol=2e-5, atol=0.05)
+
+
+def test_column_sharding_parity_at_scale():
+    """Sharded vs single-device parity at a production-scale batch
+    (2048 columns, 256/device): layout/padding/collective bugs that
+    16-column parity cannot see (VERDICT r3 next #7). Uses the bench
+    scene generator so the workload matches the headline bench."""
+    from __graft_entry__ import _example_inputs
+    assert len(jax.devices()) == 8
+    inp = _example_inputs(ncol=2048, nlev=72)
+    cfg = RadiationConfig()
+    pmid = 0.5 * (np.asarray(inp.ple)[0, 1:] + np.asarray(inp.ple)[0, :-1])
+    ict, icb = cfg.superlayer_indices(pmid)
+    sol_ref, irr_ref = radiation_refresh(inp, 172.0, 12.0, config=cfg,
+                                         ict=ict, icb=icb)
+    mesh = column_mesh()
+    inp_sh = shard_columns(mesh, inp)
+    sol_sh, irr_sh = radiation_refresh(inp_sh, 172.0, 12.0, config=cfg,
+                                       ict=ict, icb=icb)
+    # per-column physics and per-column state-derived RNG seeds are
+    # decomposition-invariant, so sharding changes only summation
+    # layouts -> f32-roundoff-level tolerances
+    np.testing.assert_allclose(np.asarray(sol_sh.flxn),
+                               np.asarray(sol_ref.flxn), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(irr_sh.flx),
+                               np.asarray(irr_ref.flx), rtol=2e-5,
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(irr_sh.dfdts),
+                               np.asarray(irr_ref.dfdts), rtol=2e-5,
+                               atol=1e-4)
