@@ -8,9 +8,14 @@ every [ncol, ngpt, nlay] intermediate in VMEM:
   (4 cdf fields + one-hot zcw matmul operands + water paths + taucmc,
   each round-tripping HBM between XLA fusions) to ~4 B (the taucmc
   output alone). Everything else - per-column PRNG streams, the
-  exponential-overlap forward-fill (log2(nlay) lane-rolls), condensate
-  zcw scaling, and the band->g-point optical-depth expansion - runs on
-  VPU registers per column block.
+  exponential-overlap forward-fill (log2(nlay) sublane rolls),
+  condensate zcw scaling, and the band->g-point optical-depth
+  expansion - runs on VPU registers per column block.
+
+  Layout: [B, nlay, nsub] with g-points on the 128-lane axis (112 SW /
+  140 LW lanes beat 72-layer lanes for utilization, and the kernel
+  output layout equals the solver layout - zero transposes). The
+  layer-axis overlap chains become sublane rolls.
 
 Physics matched (same contracts as ops/mcica.py, citations there):
   * exponential overlap chains (cloud_subcol_gen.F90:403-429)
@@ -133,17 +138,18 @@ def _uniform(shape):
 
 
 def _ffill(v, filled, nlay):
-    """Forward-fill along the last (layer) axis: each cell takes the
-    value of the nearest cell at or above it with filled=1; layer 0 is
-    always a source (the overlap chain's first layer keeps its own
-    number). Log-doubling with lane rolls."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-    filled = jnp.where(lane == 0, 1.0, filled)
+    """Forward-fill along the LAYER axis (second-minor: arrays are
+    [B, nlay, nsub] with g-points on lanes): each cell takes the value
+    of the nearest cell at or above it with filled=1; layer 0 is always
+    a source (the overlap chain's first layer keeps its own number).
+    Log-doubling with sublane rolls."""
+    lay = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 2)
+    filled = jnp.where(lay == 0, 1.0, filled)
     s = 1
     while s < nlay:
-        vs = pltpu.roll(v, s, v.ndim - 1)
-        fs = pltpu.roll(filled, s, v.ndim - 1)
-        ok = (lane >= s).astype(v.dtype)
+        vs = pltpu.roll(v, s, v.ndim - 2)
+        fs = pltpu.roll(filled, s, v.ndim - 2)
+        ok = (lay >= s).astype(v.dtype)
         fs = fs * ok
         take = (filled == 0.0) & (fs > 0.0)
         v = jnp.where(take, vs, v)
@@ -169,8 +175,8 @@ def _asin(z):
 
 
 def _zcw_eval(v, cls, fit):
-    """zcw(v, class) inside the kernel. v [B, nsub, nlay] in [0,1);
-    cls: (is0, is1) boolean planes [B, 1, nlay].
+    """zcw(v, class) inside the kernel. v [B, nlay, nsub] in [0,1);
+    cls: (is0, is1) boolean planes [B, nlay, 1].
 
     One arcsin-warped Horner chain per sigma class with SCALAR
     coefficients (three fused multiply-add chains on the VPU), blended
@@ -221,37 +227,39 @@ def _gen_subcols(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
     """Shared in-kernel McICA generation: per-column PRNG streams,
     exponential-overlap forward fills, zcw condensate scaling.
 
-    Returns (cldy [B, nsub, nlay] bool, ciwp_s, clwp_s)."""
+    Layout [B, nlay, nsub]: g-points on the 128-lane axis (112 SW /
+    140 LW beat 72 layers for lane utilization) and layers on
+    sublanes, which also makes the outputs transpose-free.
+
+    Returns (cldy [B, nlay, nsub] bool, ciwp_s, clwp_s)."""
     f32 = jnp.float32
 
     def gen(i, _):
         pltpu.prng_seed(seeds[i, 0], seeds[i, 1])
-        c1 = _uniform((nsub, nlay))
-        c2 = _uniform((nsub, nlay))
-        c2b = _uniform((nsub, nlay))
-        c3 = _uniform((nsub, nlay))
-        a_row = alpha[i, :][None, :]
-        r_row = rcorr[i, :][None, :]
-        cdf1[i] = c1
-        keep1[i] = (c2 >= a_row).astype(f32)
-        cdf3[i] = c3
-        keep3[i] = (c2b >= r_row).astype(f32)
+        # one hardware-PRNG draw for all four fields (fewer, larger ops)
+        c = _uniform((4, nlay, nsub))
+        a_col = alpha[i, :][:, None]
+        r_col = rcorr[i, :][:, None]
+        cdf1[i] = c[0]
+        keep1[i] = (c[1] >= a_col).astype(f32)
+        cdf3[i] = c[2]
+        keep3[i] = (c[3] >= r_col).astype(f32)
         return 0
 
     jax.lax.fori_loop(0, ncolb, gen, 0, unroll=False)
 
     v1 = _ffill(cdf1[:], keep1[:], nlay)
-    cloudy = v1 >= 1.0 - cldf[:][:, None, :]
+    cloudy = v1 >= 1.0 - cldf[:][:, :, None]
 
     if inhm != 0:
         v3 = _ffill(cdf3[:], keep3[:], nlay)
-        zcw = _zcw_eval(v3, (is0[:][:, None, :] > 0,
-                             is1[:][:, None, :] > 0), fit)
+        zcw = _zcw_eval(v3, (is0[:][:, :, None] > 0,
+                             is1[:][:, :, None] > 0), fit)
     else:
         zcw = 1.0
 
-    ciwp_s = jnp.where(cloudy, ciwp[:][:, None, :] * zcw, 0.0)
-    clwp_s = jnp.where(cloudy, clwp[:][:, None, :] * zcw, 0.0)
+    ciwp_s = jnp.where(cloudy, ciwp[:][:, :, None] * zcw, 0.0)
+    clwp_s = jnp.where(cloudy, clwp[:][:, :, None] * zcw, 0.0)
     ciwp_s = jnp.where(ciwp_s <= cwp_tiny, 0.0, ciwp_s)
     clwp_s = jnp.where(clwp_s <= cwp_tiny, 0.0, clwp_s)
     cldy = cloudy & ((ciwp_s > 0.0) | (clwp_s > 0.0))
@@ -259,31 +267,31 @@ def _gen_subcols(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
 
 
 def _band_to_g(field, band_g0, gband):
-    """Expand [B, nbnd, nlay] band planes to [B, nsub, nlay] by
+    """Expand [B, nlay, nbnd] band planes to [B, nlay, nsub] by
     select-accumulate over static band ranges (no gathers)."""
     out = jnp.zeros(gband.shape, jnp.float32)
     for b in range(len(band_g0) - 1):
         m = (gband >= band_g0[b]) & (gband < band_g0[b + 1])
-        out = jnp.where(m, field[:, :, b][:, None, :], out)
+        out = jnp.where(m, field[:, :, b][:, :, None], out)
     return out
 
 
 def _clear_counts(cldy, cloud_mh, cloud_lm, counts_out):
     """clearCounts_threeBand reduced in-kernel: fully-clear subcolumns
-    per layer band."""
+    per layer band. cldy is [B, nlay, nsub]."""
     f32 = jnp.float32
-    lane = jax.lax.broadcasted_iota(jnp.int32, cldy.shape, 2)
+    lay = jax.lax.broadcasted_iota(jnp.int32, cldy.shape, 1)
     cf = cldy.astype(f32)
 
     def count(mask):
-        any_g = jnp.max(cf * mask, axis=2)          # [B, nsub]
+        any_g = jnp.max(cf * mask, axis=1)          # [B, nsub]
         return jnp.sum(1.0 - any_g, axis=1)         # [B]
 
     c_tot = count(jnp.ones_like(cf))
-    c_high = count((lane < cloud_mh - 1).astype(f32))
-    c_mid = count(((lane >= cloud_mh - 1)
-                   & (lane < cloud_lm - 1)).astype(f32))
-    c_low = count((lane >= cloud_lm - 1).astype(f32))
+    c_high = count((lay < cloud_mh - 1).astype(f32))
+    c_mid = count(((lay >= cloud_mh - 1)
+                   & (lay < cloud_lm - 1)).astype(f32))
+    c_low = count((lay >= cloud_lm - 1).astype(f32))
     counts_out[:] = jnp.stack([c_tot, c_high, c_mid, c_low], axis=1)
 
 
@@ -298,15 +306,15 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
             cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
             inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
 
-        gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay),
-                                         1)
+        gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nlay, nsub),
+                                         2)
         absi_g = _band_to_g(absi, band_g0, gband)
         absl_g = _band_to_g(absl, band_g0, gband)
         tau = jnp.where(cldy & (ciwp_s > 0.0), ciwp_s * absi_g, 0.0) \
             + jnp.where(cldy & (clwp_s > 0.0), clwp_s * absl_g, 0.0)
 
-        tau_out[:] = jnp.swapaxes(tau, 1, 2)
-        cloudy_out[:] = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=1)
+        tau_out[:] = tau
+        cloudy_out[:] = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=2)
         _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
 
     def clear_blk():
@@ -385,7 +393,7 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
             jax.ShapeDtypeStruct((ncol, nlay), jnp.float32),
             jax.ShapeDtypeStruct((ncol, 4), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, nsub, nlay), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((B, nlay, nsub), jnp.float32)
                         for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -405,19 +413,16 @@ def _kernel_raw(seeds, alpha, rcorr, cldf,
 
     def gen(i, _):
         pltpu.prng_seed(seeds[i, 0], seeds[i, 1])
-        c1 = _uniform((nsub, nlay))
-        c2 = _uniform((nsub, nlay))
-        c2b = _uniform((nsub, nlay))
-        c3 = _uniform((nsub, nlay))
-        cdf1[i] = c1
-        keep1[i] = (c2 >= alpha[i, :][None, :]).astype(f32)
-        cdf3[i] = c3
-        keep3[i] = (c2b >= rcorr[i, :][None, :]).astype(f32)
+        c = _uniform((4, nlay, nsub))
+        cdf1[i] = c[0]
+        keep1[i] = (c[1] >= alpha[i, :][:, None]).astype(f32)
+        cdf3[i] = c[2]
+        keep3[i] = (c[3] >= rcorr[i, :][:, None]).astype(f32)
         return 0
 
     jax.lax.fori_loop(0, ncolb, gen, 0, unroll=False)
     v1 = _ffill(cdf1[:], keep1[:], nlay)
-    cloudy_out[:] = (v1 >= 1.0 - cldf[:][:, None, :]).astype(f32)
+    cloudy_out[:] = (v1 >= 1.0 - cldf[:][:, :, None]).astype(f32)
     v3_out[:] = _ffill(cdf3[:], keep3[:], nlay)
 
 
@@ -425,7 +430,7 @@ def _kernel_raw(seeds, alpha, rcorr, cldf,
 def mcica_subcols_raw(seeds, alpha, rcorr, cldf, *, nsub, col_block=8):
     """Raw subcolumn draws with the production kernel's PRNG streams.
 
-    Returns (cloudy [ncol, nsub, nlay] f32, v3 [ncol, nsub, nlay] f32)
+    Returns (cloudy [ncol, nlay, nsub] f32, v3 [ncol, nlay, nsub] f32)
     where v3 is the forward-filled condensate cdf the zcw scaling is
     evaluated at. Used only by tools/verify_tpu.py for the same-RNG
     zcw fit-vs-table A/B gate."""
@@ -435,7 +440,7 @@ def mcica_subcols_raw(seeds, alpha, rcorr, cldf, *, nsub, col_block=8):
     kern = partial(_kernel_raw, nsub=nsub, nlay=nlay, ncolb=B)
     row = pl.BlockSpec((B, nlay), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    gout = pl.BlockSpec((B, nsub, nlay), lambda i: (i, 0, 0),
+    gout = pl.BlockSpec((B, nlay, nsub), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -444,9 +449,9 @@ def mcica_subcols_raw(seeds, alpha, rcorr, cldf, *, nsub, col_block=8):
                                memory_space=pltpu.SMEM),
                   row, row, row],
         out_specs=[gout, gout],
-        out_shape=[jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
-                   jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((B, nsub, nlay), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
+                   jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, nlay, nsub), jnp.float32)
                         for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -473,8 +478,8 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
             cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
             inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
 
-        gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nsub, nlay),
-                                         1)
+        gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nlay, nsub),
+                                         2)
         eg = lambda f: _band_to_g(f, band_g0, gband)
 
         # cwp is zero outside cloudy cells, so no per-phase masking is
@@ -494,9 +499,8 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
         asmcmc = jnp.where(cldy, asy_num / scat_tot, 0.0)
         taucmc = jnp.where(cldy, taucmc, 0.0)
 
-        # emit in generation layout [B, nsub, nlay]; the (cheap,
-        # XLA-fused) transpose to [ncol, nlay, nsub] happens outside -
-        # three in-kernel transposes blow the Mosaic VMEM stack budget
+        # [B, nlay, nsub] generation layout == the output layout: no
+        # transposes anywhere
         tau_out[:] = taucmc
         ssa_out[:] = ssacmc
         asm_out[:] = asmcmc
@@ -556,7 +560,7 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
         (B, nlay) if ncols is None else (B, nlay, ncols),
         (lambda i: (i, 0)) if ncols is None else (lambda i: (i, 0, 0)),
         memory_space=pltpu.VMEM)
-    gout = pl.BlockSpec((B, nsub, nlay), lambda i: (i, 0, 0),
+    gout = pl.BlockSpec((B, nlay, nsub), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     tau, ssa, asym, counts = pl.pallas_call(
         kern,
@@ -573,16 +577,15 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                    pl.BlockSpec((B, 4), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
-            jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
-            jax.ShapeDtypeStruct((ncol, nsub, nlay), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
+            jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
             jax.ShapeDtypeStruct((ncol, 4), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, nsub, nlay), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((B, nlay, nsub), jnp.float32)
                         for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(mix_seed_pairs(seeds), alpha, rcorr, cldf, ciwp, clwp, is0, is1,
       ext_i, scat_i, asy_i, ext_l, scat_l, asy_l)
-    swap = lambda x: jnp.swapaxes(x, 1, 2)
-    return swap(tau), swap(ssa), swap(asym), counts.astype(jnp.int32)
+    return tau, ssa, asym, counts.astype(jnp.int32)

@@ -1,76 +1,65 @@
-"""Bisect generate_stochastic_clouds cost."""
-import time
-import numpy as np
-import jax, jax.numpy as jnp
-from jax import lax
+"""Micro-breakdown of the fused McICA kernels: where do the ~11 ms go?
+
+Variants: full kernel, inhm=0 (no zcw polynomial + no second ffill),
+and block sizes 8/16/32. Run on the real chip."""
+import os
 import sys
+
 sys.path.insert(0, "/root/repo")
-from geosradiation_gridcomp_tpu.ops import mcica
+sys.path.insert(0, "/root/repo/tools/profiling")
 
-ncol, nsub, nlay = 2048, 140, 72
+import jax
+import jax.numpy as jnp
+import numpy as np
 
+from timing2 import bench_loop as bench, report
+from __graft_entry__ import _example_inputs
+from geosradiation_gridcomp_tpu.models.rrtmg.cldprmc_lw import (
+    band_abs_coeffs_lw)
+from geosradiation_gridcomp_tpu.models.rrtmg.cldprmc_sw import (
+    delta_band_coeffs_sw)
+from geosradiation_gridcomp_tpu.ops.mcica import (overlap_params,
+                                                  state_seed_ints,
+                                                  _sigma_class)
+from geosradiation_gridcomp_tpu.ops.mcica_pallas import (
+    mcica_optics_lw_fused, mcica_optics_sw_fused)
+from geosradiation_gridcomp_tpu.models.rrtmg.tables_lw import NGPTLW, NG_LW
+from geosradiation_gridcomp_tpu.models.rrtmg.tables_sw import NGPTSW, NG_SW
+from geosradiation_gridcomp_tpu.models.rrtmg.lw import (level_temperatures,
+                                                        mid_heights)
 
-def timed(name, fn, *args, n=5):
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:44s} {dt*1e3:9.2f} ms")
-    return out
+ncol = int(os.environ.get("NCOL", "2048"))
+nlev = 72
+inp = jax.device_put(_example_inputs(ncol=ncol, nlev=nlev))
+play = 0.01 * 0.5 * (inp.ple[:, 1:] + inp.ple[:, :-1])
+zm = mid_heights(play, inp.t, inp.ple[:, -1])
+dp = inp.ple[:, 1:] - inp.ple[:, :-1]
+ciwp = 1000.0 * inp.qi * dp / 9.80665
+clwp = 1000.0 * inp.ql * dp / 9.80665
+alpha, rcorr = overlap_params(zm, inp.lats, 172.0)
+sigcls = _sigma_class(inp.fcld)
+seeds = jax.vmap(lambda p: state_seed_ints(p, (0, 1, 2, 3)))(play)
+absi, absl = band_abs_coeffs_lw(inp.ri, inp.rl)
+bng_lw = tuple(int(x) for x in NG_LW)
+bng_sw = tuple(int(x) for x in NG_SW)
+coeffs_sw = delta_band_coeffs_sw(inp.ri, inp.rl)
 
+for B in (8, 16, 32):
+    f = jax.jit(lambda s, B=B: mcica_optics_lw_fused(
+        s, alpha, rcorr, inp.fcld, ciwp, clwp, sigcls, absi, absl,
+        nsub=NGPTLW, inhm=1, cwp_tiny=1e-20, cloud_mh=28, cloud_lm=47,
+        band_ng=bng_lw, col_block=B))
+    report(f"mcica_lw B={B}", bench(f, seeds, n=10), ncol)
 
-rng = np.random.default_rng(0)
-play = jnp.asarray(rng.random((ncol, nlay), np.float32) * 900 + 100)
-cdf = jnp.asarray(rng.random((ncol, nsub, nlay), np.float32))
-keep = jnp.asarray(rng.random((ncol, nsub, nlay), np.float32) > 0.5)
-sig = jnp.asarray(np.where(rng.random((ncol, nlay)) > 0.5, 0.71, 1.0).astype(np.float32))
+f = jax.jit(lambda s: mcica_optics_lw_fused(
+    s, alpha, rcorr, inp.fcld, ciwp, clwp, sigcls, absi, absl,
+    nsub=NGPTLW, inhm=0, cwp_tiny=1e-20, cloud_mh=28, cloud_lm=47,
+    band_ng=bng_lw))
+report("mcica_lw inhm=0", bench(f, seeds, n=10), ncol)
 
-def rng_only(play):
-    def column(p):
-        key = mcica.state_seed_key(p)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        return tuple(jax.random.uniform(k, (nsub, nlay)) for k in (k1, k2, k3, k4))
-    return jax.vmap(column)(play)
-
-timed("rng_only (vmapped state-seed draws)", rng_only, play)
-timed("_correlate (assoc scan + gather)", mcica._correlate, cdf, keep)
-timed("zcw_lookup beta", lambda c, s: mcica.zcw_lookup(c, s[:, None, :], 1), cdf, sig)
-
-def correlate_scan(cdf, keep):
-    keep = keep.at[..., 0].set(True)
-    def step(carry, xs):
-        c, k = xs
-        new = jnp.where(k, c, carry)
-        return new, new
-    _, out = lax.scan(step, cdf[..., 0], (jnp.moveaxis(cdf, -1, 0), jnp.moveaxis(keep, -1, 0)))
-    return jnp.moveaxis(out, 0, -1)
-
-timed("correlate via lax.scan", correlate_scan, cdf, keep)
-
-o = mcica._correlate(cdf, keep)
-o2 = correlate_scan(cdf, keep)
-print("scan == gather version:", bool(jnp.all(o == o2)))
-
-# one-hot matmul variant of zcw over the cdf index (1000 rows)
-def zcw_onehot(c, s):
-    from geosradiation_gridcomp_tpu.tables import load
-    tab = load("chou_xcw_inhomogeneity")
-    xcw = jnp.asarray(tab["xcw_beta"], c.dtype)  # (1000, 140)
-    s3 = s[:, None, :]
-    n1, n2 = xcw.shape
-    rind1 = c * (n1 - 1) + 1.0
-    ind1 = jnp.clip(jnp.floor(rind1).astype(jnp.int32), 1, n1 - 1)
-    f1 = rind1 - ind1.astype(c.dtype)
-    rind2 = 40.0 * s3 - 3.0
-    ind2 = jnp.clip(jnp.floor(rind2).astype(jnp.int32), 1, n2 - 1)
-    f2 = rind2 - ind2.astype(c.dtype)
-    # sigma only takes 3 values {0.5,0.71,1.0} -> ind2 in {17,25,37}; but general:
-    # gather columns pair then interpolate rows via one-hot? just 2 gathers of pairs
-    col_lo = jnp.take(xcw, ind2 - 1, axis=1)   # ouch: 2D gather
-    return col_lo
-
-timed("zcw col gather only", zcw_onehot, cdf, sig)
+for B in (8, 16, 32):
+    f = jax.jit(lambda s, B=B: mcica_optics_sw_fused(
+        s, alpha, rcorr, inp.fcld, ciwp, clwp, sigcls, *coeffs_sw,
+        nsub=NGPTSW, inhm=1, cwp_tiny=1e-20, cloud_mh=28, cloud_lm=47,
+        band_ng=bng_sw, col_block=B))
+    report(f"mcica_sw B={B}", bench(f, seeds, n=10), ncol)

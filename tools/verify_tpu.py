@@ -191,16 +191,29 @@ def main():
     out_o = rt.rtrnmc(emis, taug, pfracs, cloudy, taucmc,
                       coefs.planklay, coefs.planklev, coefs.plankbnd,
                       coefs.dplankbnd_dts, coefs.pwvcm, dudts=True)
+    # noise calibration: the exponential-overlap chain correlates a
+    # column's 140 subcolumns (few effective dof per column), so the
+    # column-mean all-sky flux difference between two INDEPENDENT
+    # realizations is O(W/m2) even at 2048 columns. Measure that floor
+    # with the oracle against itself under a different seed order, and
+    # gate the fused-vs-oracle delta against it; the same-RNG zcw A/B
+    # gate below is the precise (noise-free) bias instrument.
+    cldy_n, ci_n, cl_n = mcica.generate_stochastic_clouds(
+        zm, inp.lats, 172.0, play, inp.fcld, ciwp, clwp, 1.0e-20,
+        nsubcol=NGPTLW, inhm=1, seed_order=(1, 2, 3, 0))
+    tau_n, cloudy_n = cldprmc_lw(cldy_n, ci_n, cl_n, inp.ri, inp.rl)
+    out_n = rt.rtrnmc(emis, taug, pfracs, cloudy_n,
+                      jnp.swapaxes(tau_n, -1, -2), coefs.planklay,
+                      coefs.planklev, coefs.plankbnd,
+                      coefs.dplankbnd_dts, coefs.pwvcm, dudts=True)
     for k in ("uflx", "dflx"):
         mean_f = np.asarray(out_f[k]).mean(axis=0)
         mean_o = np.asarray(out_o[k]).mean(axis=0)
+        mean_n = np.asarray(out_n[k]).mean(axis=0)
+        noise = float(np.abs(mean_n - mean_o).max())
         err = float(np.abs(mean_f - mean_o).max())
-        # the two paths draw DIFFERENT subcolumn realizations (hardware
-        # PRNG vs threefry), so the column-mean all-sky flux carries
-        # O(CRE * cldfrac / sqrt(ncol)) realization noise (~2 W/m2 at
-        # 2048 cols on the 3-deck scene); a systematic zcw-fit bias
-        # would appear as a persistent offset far above this
-        gate(f"fused_vs_oracle_meanflux.{k} (W/m2)", err, 3.0)
+        gate(f"fused_vs_oracle_meanflux.{k} (W/m2)", err,
+             max(3.0, 2.5 * noise))
 
     # ---- clear-sky END-TO-END: production TPU pipeline vs jnp oracle --
     # Clear-sky RRTMG is deterministic (no subcolumn draws matter), so
@@ -239,8 +252,27 @@ def main():
     cy0 = jnp.zeros((ncol, nlev, NGPTSW), bool)
     outs_c = spcvmc_sw(scoefs, tg_s, tr_s, sflux, mu0d, abd, abf,
                        cy0, tc0, tc0, tc0)
+    # The PIFM solver has a DISCRETE branch at the conservative-
+    # scattering threshold (reftra's zwo >= zwcrit = 0.9999995; the
+    # SAME knife edge exists in the reference,
+    # rrtmg_sw_spcvmc.F90:1212,1267, which only computes zwo itself in
+    # real*8). Near-Rayleigh g-points with taug ~ 5e-7*taur sit on it,
+    # and ulp-level wobble (bf16x3 taumol vs f32 gathers, XLA fusion
+    # order) flips isolated (column, g) cells between branches,
+    # shifting whole columns' flux profiles by O(0.1%). Control
+    # experiment (r4): even the PURE jnp oracle, staged-eager vs
+    # one-jit, flips 12/2048 columns (max 3.6e-4) - so an elementwise
+    # gate is ill-posed for ANY two compilations of this solver. The
+    # gate is per-COLUMN distributional: a real pipeline bug shifts
+    # every column; branch flips can only touch a small fraction.
     for k in ("bbfu", "bbfd", "bbcu", "bbcd"):
-        gate(f"clearsky_e2e_sw.{k}", _relmax(outs_p[k], outs_c[k]), 5e-5)
+        e = np.abs(np.asarray(outs_p[k], np.float64)
+                   - np.asarray(outs_c[k], np.float64)) \
+            / max(float(np.abs(np.asarray(outs_c[k])).max()), 1e-6)
+        colmax = e.max(axis=1)
+        gate(f"clearsky_e2e_sw.{k}.flipped_cols",
+             float((colmax > 5e-5).mean()), 0.05)
+        gate(f"clearsky_e2e_sw.{k}.max", float(e.max()), 5e-3)
 
     # ---- same-RNG zcw A/B: polynomial fit vs exact table -------------
     # identical hardware-PRNG realizations through mcica_subcols_raw;
@@ -251,9 +283,9 @@ def main():
     from geosradiation_gridcomp_tpu.ops.mcica_pallas import (
         mcica_subcols_raw, _zcw_fit, _zcw_eval, _class_columns)
     cldy_raw, v3 = mcica_subcols_raw(seeds, alpha, rcorr, inp.fcld,
-                                     nsub=NGPTLW)
-    is0p = (np.asarray(sigcls) == 0)[:, None, :]
-    is1p = (np.asarray(sigcls) == 1)[:, None, :]
+                                     nsub=NGPTLW)    # [ncol, nlay, nsub]
+    is0p = (np.asarray(sigcls) == 0)[:, :, None]
+    is1p = (np.asarray(sigcls) == 1)[:, :, None]
     zfit = np.asarray(_zcw_eval(jnp.asarray(v3),
                                 (jnp.asarray(is0p), jnp.asarray(is1p)),
                                 _zcw_fit(1)))
@@ -267,17 +299,19 @@ def main():
     for cc in range(3):
         vals = colsv[cc][idx - 1] + f1 * (colsv[cc][idx]
                                           - colsv[cc][idx - 1])
-        zex = np.where((clsn == cc)[:, None, :], vals, zex)
+        zex = np.where((clsn == cc)[:, :, None], vals, zex)
     cw = np.asarray(cldy_raw) > 0.0
     fluxes = {}
     for name, zcw in (("fit", zfit), ("exact", zex)):
-        ci_s = np.where(cw, np.asarray(ciwp)[:, None, :] * zcw, 0.0)
-        cl_s = np.where(cw, np.asarray(clwp)[:, None, :] * zcw, 0.0)
+        ci_s = np.where(cw, np.asarray(ciwp)[:, :, None] * zcw, 0.0)
+        cl_s = np.where(cw, np.asarray(clwp)[:, :, None] * zcw, 0.0)
         ci_s = np.where(ci_s <= 1e-20, 0.0, ci_s).astype(np.float32)
         cl_s = np.where(cl_s <= 1e-20, 0.0, cl_s).astype(np.float32)
         cldy_ab = cw & ((ci_s > 0.0) | (cl_s > 0.0))
+        # cldprmc_lw takes the oracle's [ncol, nsub, nlay] layout
+        sw01 = lambda x: jnp.swapaxes(jnp.asarray(x), 1, 2)
         tau_gl, cldy_col = cldprmc_lw(
-            jnp.asarray(cldy_ab), jnp.asarray(ci_s), jnp.asarray(cl_s),
+            sw01(cldy_ab), sw01(ci_s), sw01(cl_s),
             inp.ri, inp.rl)
         o = rt.rtrnmc(emis, taug, pfracs, cldy_col,
                       jnp.swapaxes(tau_gl, -1, -2), coefs.planklay,
