@@ -182,7 +182,8 @@ def staged_main():
 def main():
     import jax
     from geosradiation_gridcomp_tpu.config import RadiationConfig
-    from geosradiation_gridcomp_tpu.driver.step import radiation_refresh
+    from geosradiation_gridcomp_tpu.driver.step import (radiation_refresh,
+                                                        lit_column_bound)
     from __graft_entry__ import _example_inputs
 
     env = __import__("os").environ
@@ -207,9 +208,19 @@ def main():
     ict, icb = cfg.superlayer_indices(pmid)
     inp = jax.device_put(inp)
 
+    # SW daylight packing (NumLit, GEOS_SolarGridComp.F90:3684-3687):
+    # host-side bucketed lit-column bound; max over the bench's doy
+    # range so the bound stays valid as the terminator drifts
+    sw_nlit = None
+    if not env.get("BENCH_NO_DAYPACK"):
+        bounds = [lit_column_bound(inp.lons, inp.lats, d, 12.0, cfg)
+                  for d in (172.0, 172.01)]
+        sw_nlit = (None if any(b is None for b in bounds)
+                   else max(bounds))
+
     def step(doy):
         return radiation_refresh(inp, doy, 12.0, config=cfg, ict=ict,
-                                 icb=icb)
+                                 icb=icb, sw_nlit=sw_nlit)
 
     # warmup / compile
     sol, irr = step(172.0)
@@ -243,7 +254,8 @@ def main():
             "cloudy_layer_fraction": round(float((fcld > 0).mean()), 3),
             "mean_cldfrac_in_cloudy": round(
                 float(fcld[fcld > 0].mean()), 3),
-            "day_night": "mixed (lons span 0..6 rad)"},
+            "day_night": "mixed (lons span 0..6 rad)",
+            "sw_nlit": sw_nlit},
     }))
 
 

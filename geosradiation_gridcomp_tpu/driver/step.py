@@ -17,9 +17,9 @@ from .radiation import (AtmosInputs, solar_refresh, solar_update,
 from .astronomy import mean_cos_zenith
 
 
-@partial(jax.jit, static_argnames=("config", "ict", "icb"))
+@partial(jax.jit, static_argnames=("config", "ict", "icb", "sw_nlit"))
 def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb,
-                      sw_aero=None, lw_aero=None):
+                      sw_aero=None, lw_aero=None, sw_nlit=None):
     """Full SW+LW refresh. Returns (solar_state, irrad_state).
 
     sw_aero: optional (taua, ssaa, asya) per-SW-band aerosol optics
@@ -28,6 +28,10 @@ def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb,
     lw_aero: optional LW aerosol optics — (taua, ssaa, asya) for the
     Chou scheme (10 bands), taua alone for RRTMG (16 bands; absorption
     only, rrtmg_lw taua input).
+    sw_nlit: optional STATIC lit-column bound for SW daylight packing
+    (see models/rrtmg/sw.py rrtmg_sw nlit). Compute host-side from the
+    refresh-interval insolation and bucket it so the set of compiled
+    shapes stays small (lit_column_bound below does both).
     """
     slr, lit = mean_cos_zenith(inp.lons, inp.lats, doy, utc_hours,
                                config.solar_dt / 3600.0)
@@ -40,7 +44,7 @@ def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb,
     else:
         ltaua, lssaa, lasya = lw_aero, None, None
     sol = solar_refresh(inp, zth, doy, config, ict, icb,
-                        taua=staua, ssaa=sssaa, asya=sasya)
+                        taua=staua, ssaa=sssaa, asya=sasya, nlit=sw_nlit)
     irr = irrad_refresh(inp, doy, config, ict, icb,
                         taua=ltaua, ssaa=lssaa, asya=lasya)
     return sol, irr
@@ -58,3 +62,22 @@ def radiation_update(solar_state, irrad_state, tsinst, lons, lats, ple,
     out = dict(sw=sw, lw=lw, dtdt=dtdt)
     out.update(surface_lw_linearization(irrad_state))
     return out
+
+
+def lit_column_bound(lons, lats, doy, utc_hours, config, bucket=256):
+    """Host-side lit-column bound for SW daylight packing.
+
+    Counts columns with nonzero refresh-interval insolation (the
+    reference's NumLit, GEOS_SolarGridComp.F90:3684-3687) and rounds UP
+    to a multiple of `bucket`, so successive refreshes reuse at most
+    ncol/bucket compiled shapes. Pass the result as radiation_refresh's
+    sw_nlit. Returns None when every column is lit.
+    """
+    import numpy as np
+
+    _, lit = mean_cos_zenith(lons, lats, doy, utc_hours,
+                             config.solar_dt / 3600.0)
+    nlit = int(np.sum(np.asarray(lit) > 0.0))
+    ncol = int(lit.shape[0])
+    nlit = min(-(-nlit // bucket) * bucket, ncol)
+    return None if nlit >= ncol else nlit

@@ -20,14 +20,31 @@ _OD_LO = 0.06
 _EPS = 1.0e-8
 _ZSR3 = np.sqrt(3.0)
 _ZWCRIT = 0.9999995
+_WCRIT_RESID = 1.0 - _ZWCRIT
 
 
-def reftra_sw(tau, w, g, mu0):
+def reftra_sw(tau, w, g, mu0, womz=None):
     """PIFM two-stream R/T of homogeneous layers (reftra_sw, kmodts=2).
 
     tau/w/g: [..., nlay, ngpt]; mu0: [...] broadcastable.
+    womz: optional 1-w computed by the caller at full RELATIVE
+    precision directly from optical depths (absorption/total). The
+    conservative-scattering predicate zwo >= 0.9999995
+    (rrtmg_sw_spcvmc.F90:1212,1267) compares a quantity within 5e-7 of
+    1; f32 rounding of w itself quantizes (1-w) to ~12% relative steps
+    there (ulp(1) = 6e-8), so ANY pipeline wobble in how w was rounded
+    flips cells between branches (the r4 clearsky_e2e_sw instability).
+    The reference stabilizes this by carrying spcvmc in real*8; the
+    TPU-native equivalent is the identity 1-zwo = (1-w)(1-q)/den with
+    1-w supplied exactly - the predicate then wobbles only with the
+    ~1e-5 relative taumol differences, which cannot cross the
+    threshold. The intrinsic O(1e-3) branch disagreement AT the
+    threshold (thick layers) is the reference's own and is unchanged.
+
     Returns (ref, tra, refd, trad) same shape as tau.
     """
+    if womz is None:
+        womz = 1.0 - w
     mu0 = mu0[..., None, None]
     zg3 = 3.0 * g
     gamma1 = (8.0 - w * (5.0 + zg3)) * 0.25
@@ -35,14 +52,13 @@ def reftra_sw(tau, w, g, mu0):
     gamma3 = (2.0 - zg3 * mu0) * 0.25
     gamma4 = 1.0 - gamma3
 
-    # original (pre-delta) ssa to detect conservative scattering; guard the
-    # catastrophic denominator the reference patches with real*8
-    # (spcvmc.F90:1240-1262)
-    den = 1.0 - (1.0 - w) * (g / (1.0 - g)) ** 2
+    # original (pre-delta) ssa to detect conservative scattering; guard
+    # the catastrophic denominator (spcvmc.F90:1240-1262)
+    q = (g / (1.0 - g)) ** 2
+    den = 1.0 - womz * q
     den = jnp.where(jnp.abs(den) < 1e-12,
                     jnp.where(den < 0, -1e-12, 1e-12), den)
-    zwo = w / den
-    conservative = zwo >= _ZWCRIT
+    conservative = womz * (1.0 - q) / den <= _WCRIT_RESID
 
     # ---- conservative branch ----
     za = gamma1 * mu0
@@ -61,42 +77,71 @@ def reftra_sw(tau, w, g, mu0):
     trad_c = jnp.where(thin, 1.0, trad_c)
 
     # ---- non-conservative branch ----
+    # The reference's direct-beam expressions (rrtmg_sw_spcvmc.F90:
+    # 1290-1345) have a REMOVABLE singularity at zrk*mu0 = 1 (the
+    # particular-solution resonance): zdenr = (1-(zrk*mu0)^2)*(...)->0
+    # while the numerators cancel to the same order. In real*8 the
+    # cancellation noise is ~1e-16/|1-(zrk*mu0)^2|, invisible; in f32 it
+    # reaches O(0.1) on tra within |1-zrk*mu0| < 1e-4 of the resonance
+    # (this is the true reason the reference carries spcvmc in real*8).
+    # TPU-native fix: factor the singular s = 1-zrk*mu0 out analytically
+    #   N_tra = (za1+k*g4)(1+p)(E1-E2p) + (za1-k*g4)*s*(E2p-Em1)
+    #   N_ref = (za2+k*g3)*s*(E1-Em2)  + (k*g3-za2)(1+p)(Em1-Em2)
+    #   D     = s*(1+p)*[(k+g1)*E1 + (k-g1)*Em1]
+    # with E1-E2p = zep2*expm1(-u), Em1-Em2 = zem2*expm1(u), u = ze2-ze1
+    # = s*tau/mu0; expm1(±u)/s = ±r*psi(±u), r = u/s. Every s cancels,
+    # leaving a strictly positive O(1) denominator - algebraically
+    # identical to the reference (verified to 9e-12 over 5e4 random
+    # states) and f32-stable through the resonance (err <= 4e-4 AT it
+    # vs 0.17 for the direct form). Requires exact exp for zem1/zem2
+    # (the <=0.06 Taylor shortcut would break the exponent identities
+    # by its own 3.6e-5 error amplified by 1/s; exp is a native VPU
+    # transcendental, so the CPU-era shortcut costs accuracy for no
+    # speed).
     za1 = gamma1 * gamma4 + gamma2 * gamma3
     za2 = gamma1 * gamma3 + gamma2 * gamma4
     zrk = jnp.sqrt(jnp.maximum(gamma1 * gamma1 - gamma2 * gamma2, 1e-12))
     zrp = zrk * mu0
-    zrp1 = 1.0 + zrp
-    zrm1 = 1.0 - zrp
+    opp = 1.0 + zrp
+    s = 1.0 - zrp                 # exact (Sterbenz) for zrp in [0.5, 2]
     zrk2 = 2.0 * zrk
-    zrpp = 1.0 - zrp * zrp
     zrkg = zrk + gamma1
-    zr1 = zrm1 * (za2 + zrk * gamma3)
-    zr2 = zrp1 * (za2 - zrk * gamma3)
-    zr3 = zrk2 * (gamma3 - za2 * mu0)
-    zr4 = zrpp * zrkg
-    zr5 = zrpp * (zrk - gamma1)
-    zt1 = zrp1 * (za1 + zrk * gamma4)
-    zt2 = zrm1 * (za1 - zrk * gamma4)
-    zt3 = zrk2 * (gamma4 + za1 * mu0)
+    g3k = zrk * gamma3
+    g4k = zrk * gamma4
     zbeta = (gamma1 - zrk) / zrkg
 
     ze1 = jnp.minimum(zrk * tau, 5.0)
     ze2 = jnp.minimum(tau / mu0, 5.0)
-    zem1 = jnp.where(ze1 <= _OD_LO, 1.0 - ze1 + 0.5 * ze1 * ze1,
-                     jnp.exp(-ze1))
-    zep1 = 1.0 / zem1
-    zem2 = jnp.where(ze2 <= _OD_LO, 1.0 - ze2 + 0.5 * ze2 * ze2,
-                     jnp.exp(-ze2))
-    zep2 = 1.0 / zem2
+    zem1 = jnp.exp(-ze1)
+    # exp(ze) rather than 1/zem: XLA rewrites 1/exp(-x) -> exp(x) under
+    # jit but not in eager dispatch, and that one-ulp difference is the
+    # dominant compilation-variance of the whole solver (measured
+    # 3.4e-4 max flux drift jit-vs-eager with the reciprocal, 0.0 with
+    # the direct form)
+    zep1 = jnp.exp(ze1)
+    zem2 = jnp.exp(-ze2)
+    zep2 = jnp.exp(ze2)
 
-    zdenr = zr4 * zep1 + zr5 * zem1    # zt4=zr4, zt5=zr5: same denominator
-    denr_tiny = jnp.abs(zdenr) <= _EPS
-    safe_denr = jnp.where(denr_tiny, 1.0, zdenr)
-    ref_n = jnp.where(denr_tiny, _EPS,
-                      w * (zr1 * zep1 - zr2 * zem1 - zr3 * zem2) / safe_denr)
-    tra_n = jnp.where(denr_tiny, zem2,
-                      zem2 - zem2 * w * (zt1 * zep1 - zt2 * zem1
-                                         - zt3 * zep2) / safe_denr)
+    u = ze2 - ze1                 # = s*tau/mu0 when neither clamps
+    s_ok = jnp.abs(s) >= 1e-6
+    r = jnp.where(s_ok, u / jnp.where(s_ok, s, 1.0),
+                  jnp.where(u == 0.0, 0.0, ze2))
+    # psi(+-u) = +-expm1(+-u)/u via exp-1 with a quadratic Taylor below
+    # |u| <= 0.01 (crossover errors ~6e-6 rel on each side; expm1 is not
+    # lowered by Pallas TPU, and exp-1 keeps both solver variants on the
+    # same code)
+    small_u = jnp.abs(u) <= 0.01
+    u_safe = jnp.where(small_u, 1.0, u)
+    psi_p = jnp.where(small_u, 1.0 + u * (0.5 + u * (1.0 / 6.0)),
+                      (jnp.exp(u) - 1.0) / u_safe)
+    psi_m = jnp.where(small_u, 1.0 - u * (0.5 - u * (1.0 / 6.0)),
+                      -(jnp.exp(-u) - 1.0) / u_safe)
+    zden = opp * (zrkg * zep1 + (zrk - gamma1) * zem1)  # > 0 always
+    ref_n = w * ((za2 + g3k) * (zep1 - zem2)
+                 + (g3k - za2) * opp * zem2 * r * psi_p) / zden
+    tra_n = zem2 * (1.0 - w * ((za1 - g4k) * (zep2 - zem1)
+                               - (za1 + g4k) * opp * zep2 * r * psi_m)
+                    / zden)
     zemm = zem1 * zem1
     zdend = 1.0 / ((1.0 - zbeta * zemm) * zrkg)
     refd_n = gamma2 * (1.0 - zemm) * zdend
@@ -210,12 +255,16 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     ztauo_c = (1.0 - zwf) * ztauo
     zomco_c = (zomco - zwf) / (1.0 - zwf)
     zgco_c = (zgco - zf) / (1.0 - zf)
+    # 1 - zomco_c at full RELATIVE precision (see reftra_sw docstring):
+    # 1-zomco = absorption/total = (taug + taua*(1-ssaa))/ztauo exactly,
+    # and delta scaling divides it by (1-zwf)
+    womz_c = (taug + taua_g * (1.0 - ssaa_g)) / ztauo / (1.0 - zwf)
 
     ref_sfc_dir = albdir[..., ngb - 1]
     ref_sfc_dif = albdif[..., ngb - 1]
 
-    def solve(tau, w, g):
-        ref, tra, refd, trad = reftra_sw(tau, w, g, mu0c)
+    def solve(tau, w, g, womz):
+        ref, tra, refd, trad = reftra_sw(tau, w, g, mu0c, womz)
         dbt = jnp.exp(-jnp.minimum(tau / mu0c[..., None, None], 500.0))
         tdbt = jnp.concatenate(
             [jnp.ones_like(dbt[..., :1, :]),
@@ -224,7 +273,7 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
                            dbt, tdbt)
         return fd, fu, tdbt
 
-    fd_c, fu_c, tdbt_c = solve(ztauo_c, zomco_c, zgco_c)
+    fd_c, fu_c, tdbt_c = solve(ztauo_c, zomco_c, zgco_c, womz_c)
 
     # cloudy: add (already delta-scaled) cloud optics where cloudy
     tg = ztauo_c * zomco_c * zgco_c + taucmc * ssacmc * asmcmc
@@ -232,11 +281,14 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     tt = ztauo_c + taucmc
     g_all = tg / jnp.maximum(to_, 1e-30)
     w_all = to_ / tt
+    # 1 - w_all = (absorption_clear + absorption_cloud)/total, exact
+    womz_all = (ztauo_c * womz_c + taucmc * (1.0 - ssacmc)) / tt
     tau_all = jnp.where(cldymc, tt, ztauo_c)
     w_all = jnp.where(cldymc, w_all, zomco_c)
     g_all = jnp.where(cldymc, g_all, zgco_c)
+    womz_all = jnp.where(cldymc, womz_all, womz_c)
 
-    fd_a, fu_a, tdbt_a = solve(tau_all, w_all, g_all)
+    fd_a, fu_a, tdbt_a = solve(tau_all, w_all, g_all, womz_all)
 
     # incident flux per g-point
     zincflx = adjflux * sfluxzen * mu0c[..., None]     # [ncol, ngpt]

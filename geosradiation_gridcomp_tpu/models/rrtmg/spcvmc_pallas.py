@@ -63,22 +63,26 @@ def _expand14(row, gband, band_g0):
     return out
 
 
-def _reftra(tau, w, g, mu0):
+def _reftra(tau, w, g, mu0, womz=None):
     """PIFM two-stream R/T on [C, G] planes (reftra_sw, kmodts=2).
 
-    Same numerics as spcvmc.reftra_sw; mu0 is [C, 1].
+    Same numerics as spcvmc.reftra_sw; mu0 is [C, 1]. womz is 1-w at
+    full relative precision for a stable conservative-scattering
+    predicate (see spcvmc.reftra_sw docstring).
     """
+    if womz is None:
+        womz = 1.0 - w
     zg3 = 3.0 * g
     gamma1 = (8.0 - w * (5.0 + zg3)) * 0.25
     gamma2 = 3.0 * (w * (1.0 - g)) * 0.25
     gamma3 = (2.0 - zg3 * mu0) * 0.25
     gamma4 = 1.0 - gamma3
 
-    den = 1.0 - (1.0 - w) * (g / jnp.maximum(1.0 - g, 1e-12)) ** 2
+    q = (g / jnp.maximum(1.0 - g, 1e-12)) ** 2
+    den = 1.0 - womz * q
     den = jnp.where(jnp.abs(den) < 1e-12,
                     jnp.where(den < 0, -1e-12, 1e-12), den)
-    zwo = w / den
-    conservative = zwo >= _ZWCRIT
+    conservative = womz * (1.0 - q) / den <= 1.0 - _ZWCRIT
 
     # conservative-scattering branch
     za = gamma1 * mu0
@@ -96,44 +100,53 @@ def _reftra(tau, w, g, mu0):
     refd_c = jnp.where(thin, 0.0, refd_c)
     trad_c = jnp.where(thin, 1.0, trad_c)
 
-    # non-conservative branch
+    # non-conservative branch: the resonance-factored form (identical
+    # numerics + rationale as spcvmc.reftra_sw - see its comment on the
+    # removable zrk*mu0 = 1 singularity)
     za1 = gamma1 * gamma4 + gamma2 * gamma3
     za2 = gamma1 * gamma3 + gamma2 * gamma4
     zrk = jnp.sqrt(jnp.maximum(gamma1 * gamma1 - gamma2 * gamma2, 1e-12))
     zrp = zrk * mu0
-    zrp1 = 1.0 + zrp
-    zrm1 = 1.0 - zrp
+    opp = 1.0 + zrp
+    s = 1.0 - zrp
     zrk2 = 2.0 * zrk
-    zrpp = 1.0 - zrp * zrp
     zrkg = zrk + gamma1
-    zr1 = zrm1 * (za2 + zrk * gamma3)
-    zr2 = zrp1 * (za2 - zrk * gamma3)
-    zr3 = zrk2 * (gamma3 - za2 * mu0)
-    zr4 = zrpp * zrkg
-    zr5 = zrpp * (zrk - gamma1)
-    zt1 = zrp1 * (za1 + zrk * gamma4)
-    zt2 = zrm1 * (za1 - zrk * gamma4)
-    zt3 = zrk2 * (gamma4 + za1 * mu0)
+    g3k = zrk * gamma3
+    g4k = zrk * gamma4
     zbeta = (gamma1 - zrk) / zrkg
 
     ze1 = jnp.minimum(zrk * tau, 5.0)
     ze2 = jnp.minimum(tau / mu0, 5.0)
-    zem1 = jnp.where(ze1 <= _OD_LO, 1.0 - ze1 + 0.5 * ze1 * ze1,
-                     jnp.exp(-ze1))
-    zep1 = 1.0 / zem1
-    zem2 = jnp.where(ze2 <= _OD_LO, 1.0 - ze2 + 0.5 * ze2 * ze2,
-                     jnp.exp(-ze2))
-    zep2 = 1.0 / zem2
+    zem1 = jnp.exp(-ze1)
+    # exp(ze) rather than 1/zem: XLA rewrites 1/exp(-x) -> exp(x) under
+    # jit but not in eager dispatch, and that one-ulp difference is the
+    # dominant compilation-variance of the whole solver (measured
+    # 3.4e-4 max flux drift jit-vs-eager with the reciprocal, 0.0 with
+    # the direct form)
+    zep1 = jnp.exp(ze1)
+    zem2 = jnp.exp(-ze2)
+    zep2 = jnp.exp(ze2)
 
-    zdenr = zr4 * zep1 + zr5 * zem1
-    denr_tiny = jnp.abs(zdenr) <= _EPS
-    safe_denr = jnp.where(denr_tiny, 1.0, zdenr)
-    ref_n = jnp.where(denr_tiny, _EPS,
-                      w * (zr1 * zep1 - zr2 * zem1 - zr3 * zem2)
-                      / safe_denr)
-    tra_n = jnp.where(denr_tiny, zem2,
-                      zem2 - zem2 * w * (zt1 * zep1 - zt2 * zem1
-                                         - zt3 * zep2) / safe_denr)
+    u = ze2 - ze1
+    s_ok = jnp.abs(s) >= 1e-6
+    r = jnp.where(s_ok, u / jnp.where(s_ok, s, 1.0),
+                  jnp.where(u == 0.0, 0.0, ze2))
+    # psi(+-u) = +-expm1(+-u)/u via exp-1 with a quadratic Taylor below
+    # |u| <= 0.01 (crossover errors ~6e-6 rel on each side; expm1 is not
+    # lowered by Pallas TPU, and exp-1 keeps both solver variants on the
+    # same code)
+    small_u = jnp.abs(u) <= 0.01
+    u_safe = jnp.where(small_u, 1.0, u)
+    psi_p = jnp.where(small_u, 1.0 + u * (0.5 + u * (1.0 / 6.0)),
+                      (jnp.exp(u) - 1.0) / u_safe)
+    psi_m = jnp.where(small_u, 1.0 - u * (0.5 - u * (1.0 / 6.0)),
+                      -(jnp.exp(-u) - 1.0) / u_safe)
+    zden = opp * (zrkg * zep1 + (zrk - gamma1) * zem1)
+    ref_n = w * ((za2 + g3k) * (zep1 - zem2)
+                 + (g3k - za2) * opp * zem2 * r * psi_p) / zden
+    tra_n = zem2 * (1.0 - w * ((za1 - g4k) * (zep2 - zem1)
+                               - (za1 + g4k) * opp * zep2 * r * psi_m)
+                    / zden)
     zemm = zem1 * zem1
     zdend = 1.0 / ((1.0 - zbeta * zemm) * zrkg)
     refd_n = gamma2 * (1.0 - zemm) * zdend
@@ -166,6 +179,9 @@ def _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
     w_c = (zomco - zwf) / jnp.maximum(1.0 - zwf, 1e-12)
     g_c = (zgco - zf) / jnp.maximum(1.0 - zf, 1e-12)
 
+    womz_c = (tg + ta * (1.0 - sa)) / jnp.maximum(ztauo, 1e-30) \
+        / jnp.maximum(1.0 - zwf, 1e-12)
+
     tcm = tcm_ref[:, i, :]
     scm = scm_ref[:, i, :]
     acm = acm_ref[:, i, :]
@@ -175,11 +191,15 @@ def _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
     cld = tcm > 0.0
     g_a = jnp.where(cld, tg_all / jnp.maximum(to_all, 1e-30), g_c)
     w_a = jnp.where(cld, to_all / jnp.maximum(tt, 1e-30), w_c)
+    womz_a = jnp.where(
+        cld, (tau_c * womz_c + tcm * (1.0 - scm)) / jnp.maximum(tt, 1e-30),
+        womz_c)
     tau_a = jnp.where(cld, tt, tau_c)
 
     dbt_c = jnp.exp(-jnp.minimum(tau_c / mu0, 500.0))
     dbt_a = jnp.exp(-jnp.minimum(tau_a / mu0, 500.0))
-    return (tau_c, w_c, g_c, dbt_c), (tau_a, w_a, g_a, dbt_a)
+    return (tau_c, w_c, g_c, dbt_c, womz_c), (tau_a, w_a, g_a, dbt_a,
+                                              womz_a)
 
 
 def _up_step(rup, rupd, ref, tra, refd, trad, dbt):
@@ -211,8 +231,8 @@ def _make_up_kernel(band_g0):
             co, ao = _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref,
                                    ga_ref, tcm_ref, scm_ref, acm_ref,
                                    mu0, gband, band_g0)
-            rc = _reftra(*co[:3], mu0)
-            ra = _reftra(*ao[:3], mu0)
+            rc = _reftra(*co[:3], mu0, co[4])
+            ra = _reftra(*ao[:3], mu0, ao[4])
             rup_c_n, rupd_c_n = _up_step(rup_c[:], rupd_c[:], *rc, co[3])
             rup_a_n, rupd_a_n = _up_step(rup_a[:], rupd_a[:], *ra, ao[3])
             rup_c[:] = rup_c_n
@@ -306,8 +326,8 @@ def _make_down_kernel(band_g0):
             co, ao = _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref,
                                    ga_ref, tcm_ref, scm_ref, acm_ref,
                                    mu0, gband, band_g0)
-            rc = _reftra(*co[:3], mu0)
-            ra = _reftra(*ao[:3], mu0)
+            rc = _reftra(*co[:3], mu0, co[4])
+            ra = _reftra(*ao[:3], mu0, ao[4])
             zn, rn, tn = _down_adv(ztdn_c[:], rdnd_c[:], tdbt_c[:],
                                    *rc, co[3])
             ztdn_c[:] = zn

@@ -35,7 +35,8 @@ RRSW_SCON = 1368.22    # internal solar constant of the k-tables (rrsw_con)
 
 @partial(jax.jit, static_argnames=("iceflag", "liqflag", "cloud_mh",
                                    "cloud_lm", "inhm", "scon", "isolvar",
-                                   "solcycfrac", "indsolvar", "bndscl"))
+                                   "solcycfrac", "indsolvar", "bndscl",
+                                   "nlit"))
 def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
              albdir_nir, albdif_nir,
              h2ovmr, o3vmr, co2vmr, ch4vmr, o2vmr,
@@ -43,7 +44,8 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
              taua=None, ssaa=None, asya=None,
              adjes=1.0, *, scon=1361.0,
              isolvar=-1, solcycfrac=None, indsolvar=None, bndscl=None,
-             iceflag=3, liqflag=1, cloud_mh=1, cloud_lm=2, inhm=1):
+             iceflag=3, liqflag=1, cloud_mh=1, cloud_lm=2, inhm=1,
+             nlit=None):
     """RRTMG SW fluxes with McICA clouds.
 
     Args (TOA-first):
@@ -55,20 +57,42 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
       scon: solar constant (0 = scheme-internal); adjes: Earth-Sun factor
       isolvar/solcycfrac/indsolvar/bndscl: NRLSSI2 solar variability
         (rrtmg_sw_rad.F90:968-1112); static config, all modes -1..3
+      nlit: STATIC upper bound on the number of lit (coszen > 0)
+        columns, or None to compute every column. When given, columns
+        are sorted day-cloudy / day-clear / night and only the first
+        nlit run the SW pipeline - the TPU-native equivalent of the
+        reference's daylight packing (NumLit + PackIt/UnPackIt,
+        GEOS_SolarGridComp.F90:3684-3687, 7753-7799): compaction by
+        sort + static slice instead of dynamic gather, scatter-back of
+        exact zeros for night columns. The caller must guarantee
+        nlit >= the actual lit count (bucketed counts keep the set of
+        compiled shapes small); lit columns beyond nlit would be
+        silently zeroed.
 
     Returns dict of [ncol, nlay+1] fluxes (W/m^2): bbfu/bbfd (all-sky
     up/down), bbcu/bbcd (clear), direct components, UV/NIR band profiles,
-    surface band fluxes, clear_counts.
+    surface band fluxes, clear_counts (lit columns only under nlit;
+    skipped columns read fully clear).
     """
     # cloudy-first column sort (see lw.py): clusters clear columns into
     # whole kernel blocks so the McICA clear-block skip engages;
-    # per-column physics is order-invariant
-    sort_clear = jax.default_backend() == "tpu"
+    # per-column physics is order-invariant. With nlit: night columns
+    # sort last and are statically sliced away.
+    ncol_full = cldf.shape[0]
+    if nlit is not None and nlit >= ncol_full:
+        nlit = None
+    sort_clear = jax.default_backend() == "tpu" or nlit is not None
     if sort_clear:
-        perm = jnp.argsort(jnp.logical_not((cldf > 0.0).any(axis=1)),
-                           stable=True)
+        clearcol = jnp.logical_not((cldf > 0.0).any(axis=1))
+        if nlit is None:
+            key = clearcol
+        else:
+            key = 2 * (coszen <= 0.0).astype(jnp.int32) \
+                + clearcol.astype(jnp.int32)
+        perm = jnp.argsort(key, stable=True)
         inv = jnp.argsort(perm)
-        pc = lambda x: None if x is None else x[perm]
+        pc = lambda x: (None if x is None
+                        else x[perm] if nlit is None else x[perm][:nlit])
         (ple, play, tlay, coszen, albdir_uv, albdif_uv, albdir_nir,
          albdif_nir, h2ovmr, o3vmr, co2vmr, ch4vmr, o2vmr, cldf, ciwp,
          clwp, rei, rel, zm, alat, taua, ssaa, asya) = map(
@@ -155,6 +179,18 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
         if k == "clear_counts":
             continue
         out[k] = v * day.reshape((-1,) + (1,) * (v.ndim - 1))
-    if sort_clear:
+    if nlit is not None:
+        # scatter back: exact zeros for skipped (night) columns
+        # (UnPackIt, GEOS_SolarGridComp.F90:7776-7799); clear_counts of
+        # skipped columns read fully clear (SW cloud diagnostics are
+        # daytime-only, as in the reference's day-masked SORADCORE)
+        pad = ncol_full - nlit
+        def restore(v, fill):
+            vp = jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1),
+                         constant_values=fill)
+            return vp[inv]
+        out = {k: restore(v, NGPTSW if k == "clear_counts" else 0)
+               for k, v in out.items()}
+    elif sort_clear:
         out = {k: v[inv] for k, v in out.items()}
     return out

@@ -221,9 +221,39 @@ def _zcw_eval(v, cls, fit):
     return out
 
 
+def _draw_fields(seeds, alpha, rcorr, cdf1, keep1, cdf3, keep3,
+                 nlay, nsub, ncolb, uniforms=None):
+    """Seed + draw block shared by _gen_subcols and _kernel_raw so the
+    verification kernel's PRNG consumption can never drift from
+    production (ADVICE r4 #3): per column, seed the hardware PRNG and
+    make ONE merged (4, nlay, nsub) draw feeding the presence cdf, the
+    presence overlap break mask, the condensate cdf, and the condensate
+    break mask, in that order.
+
+    uniforms: optional [B, 4, nlay, nsub] VMEM ref of externally drawn
+    uniforms replacing the hardware PRNG - the off-TPU (interpret-mode)
+    gate for this kernel's layout/draw-order semantics (VERDICT r4 next
+    #2); the hardware PRNG has no interpret path."""
+    f32 = jnp.float32
+
+    def gen(i, _):
+        if uniforms is None:
+            pltpu.prng_seed(seeds[i, 0], seeds[i, 1])
+            c = _uniform((4, nlay, nsub))
+        else:
+            c = uniforms[i]
+        cdf1[i] = c[0]
+        keep1[i] = (c[1] >= alpha[i, :][:, None]).astype(f32)
+        cdf3[i] = c[2]
+        keep3[i] = (c[3] >= rcorr[i, :][:, None]).astype(f32)
+        return 0
+
+    jax.lax.fori_loop(0, ncolb, gen, 0, unroll=False)
+
+
 def _gen_subcols(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
                  cdf1, keep1, cdf3, keep3, *,
-                 nsub, nlay, ncolb, inhm, cwp_tiny, fit):
+                 nsub, nlay, ncolb, inhm, cwp_tiny, fit, uniforms=None):
     """Shared in-kernel McICA generation: per-column PRNG streams,
     exponential-overlap forward fills, zcw condensate scaling.
 
@@ -232,21 +262,8 @@ def _gen_subcols(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
     sublanes, which also makes the outputs transpose-free.
 
     Returns (cldy [B, nlay, nsub] bool, ciwp_s, clwp_s)."""
-    f32 = jnp.float32
-
-    def gen(i, _):
-        pltpu.prng_seed(seeds[i, 0], seeds[i, 1])
-        # one hardware-PRNG draw for all four fields (fewer, larger ops)
-        c = _uniform((4, nlay, nsub))
-        a_col = alpha[i, :][:, None]
-        r_col = rcorr[i, :][:, None]
-        cdf1[i] = c[0]
-        keep1[i] = (c[1] >= a_col).astype(f32)
-        cdf3[i] = c[2]
-        keep3[i] = (c[3] >= r_col).astype(f32)
-        return 0
-
-    jax.lax.fori_loop(0, ncolb, gen, 0, unroll=False)
+    _draw_fields(seeds, alpha, rcorr, cdf1, keep1, cdf3, keep3,
+                 nlay, nsub, ncolb, uniforms=uniforms)
 
     v1 = _ffill(cdf1[:], keep1[:], nlay)
     cloudy = v1 >= 1.0 - cldf[:][:, :, None]
@@ -296,15 +313,21 @@ def _clear_counts(cldy, cloud_mh, cloud_lm, counts_out):
 
 
 def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
-            tau_out, cloudy_out, counts_out,
-            cdf1, keep1, cdf3, keep3, *,
+            *rest,
             nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
-            band_g0, fit):
+            band_g0, fit, injected):
+    if injected:
+        uniforms, tau_out, cloudy_out, counts_out, \
+            cdf1, keep1, cdf3, keep3 = rest
+    else:
+        tau_out, cloudy_out, counts_out, cdf1, keep1, cdf3, keep3 = rest
+        uniforms = None
+
     def cloudy_blk():
         cldy, ciwp_s, clwp_s = _gen_subcols(
             seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
             cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
-            inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
+            inhm=inhm, cwp_tiny=cwp_tiny, fit=fit, uniforms=uniforms)
 
         gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nlay, nsub),
                                          2)
@@ -330,16 +353,22 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
 
 
 @partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",
-                                   "cloud_lm", "band_ng", "col_block"))
+                                   "cloud_lm", "band_ng", "col_block",
+                                   "interpret"))
 def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                           absice, absliq, *, nsub, inhm, cwp_tiny,
-                          cloud_mh, cloud_lm, band_ng, col_block=8):
+                          cloud_mh, cloud_lm, band_ng, col_block=8,
+                          uniforms=None, interpret=False):
     """Fused McICA + cloud-optics (see module banner).
 
     Args:
       seeds [ncol, 4] uint32; alpha/rcorr/cldf/ciwp/clwp [ncol, nlay];
       sigcls [ncol, nlay] int32; absice/absliq [ncol, nlay, nbnd];
       band_ng: static tuple, g-points per band (sums to nsub).
+      uniforms/interpret: test-only injection of externally drawn
+        uniforms [ncol, 4, nlay, nsub] + Pallas interpret mode, giving
+        the kernel's layout/draw-order semantics an off-TPU gate
+        (tests/test_mcica_pallas_interpret.py, VERDICT r4 next #2).
 
     Returns (taucmc [ncol, nlay, nsub], cloudy [ncol, nlay] bool,
     counts [ncol, 4] int32).
@@ -365,22 +394,31 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
 
     kern = partial(_kernel, nsub=nsub, nlay=nlay, ncolb=B, inhm=inhm,
                    cwp_tiny=cwp_tiny, cloud_mh=cloud_mh,
-                   cloud_lm=cloud_lm, band_g0=band_g0, fit=fit)
+                   cloud_lm=cloud_lm, band_g0=band_g0, fit=fit,
+                   injected=uniforms is not None)
     grid = (ncol // B,)
     row = lambda ncols=None: pl.BlockSpec(
         (B, nlay) if ncols is None else (B, nlay, ncols),
         (lambda i: (i, 0)) if ncols is None else (lambda i: (i, 0, 0)),
         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((B, 2), lambda i: (i, 0),
+                     memory_space=pltpu.SMEM),         # seeds (mixed)
+        row(), row(), row(), row(), row(),              # alpha..clwp
+        row(), row(),                                   # is0, is1
+        row(nbnd), row(nbnd),                           # absice, absliq
+    ]
+    args = [mix_seed_pairs(seeds), alpha, rcorr, cldf, ciwp, clwp,
+            is0, is1, absice, absliq]
+    if uniforms is not None:
+        in_specs.append(pl.BlockSpec((B, 4, nlay, nsub),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(uniforms)
     tau, cloudy, counts = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, 2), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),     # seeds (mixed)
-            row(), row(), row(), row(), row(),          # alpha..clwp
-            row(), row(),                               # is0, is1
-            row(nbnd), row(nbnd),                       # absice, absliq
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((B, nlay, nsub), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -397,8 +435,8 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                         for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(mix_seed_pairs(seeds), alpha, rcorr, cldf, ciwp, clwp, is0, is1,
-      absice, absliq)
+        interpret=interpret,
+    )(*args)
     return tau, cloudy > 0.0, counts.astype(jnp.int32)
 
 
@@ -409,20 +447,10 @@ def _kernel_raw(seeds, alpha, rcorr, cldf,
     presence mask and the forward-filled condensate cdf) so the zcw
     polynomial fit can be A/B-tested against the exact table with
     IDENTICAL hardware-PRNG realizations (VERDICT r3 next #5a)."""
-    f32 = jnp.float32
-
-    def gen(i, _):
-        pltpu.prng_seed(seeds[i, 0], seeds[i, 1])
-        c = _uniform((4, nlay, nsub))
-        cdf1[i] = c[0]
-        keep1[i] = (c[1] >= alpha[i, :][:, None]).astype(f32)
-        cdf3[i] = c[2]
-        keep3[i] = (c[3] >= rcorr[i, :][:, None]).astype(f32)
-        return 0
-
-    jax.lax.fori_loop(0, ncolb, gen, 0, unroll=False)
+    _draw_fields(seeds, alpha, rcorr, cdf1, keep1, cdf3, keep3,
+                 nlay, nsub, ncolb)
     v1 = _ffill(cdf1[:], keep1[:], nlay)
-    cloudy_out[:] = (v1 >= 1.0 - cldf[:][:, :, None]).astype(f32)
+    cloudy_out[:] = (v1 >= 1.0 - cldf[:][:, :, None]).astype(jnp.float32)
     v3_out[:] = _ffill(cdf3[:], keep3[:], nlay)
 
 
@@ -463,10 +491,16 @@ _CLDMIN = 1.0e-20
 
 def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
                ext_i, scat_i, asy_i, ext_l, scat_l, asy_l,
-               tau_out, ssa_out, asm_out, counts_out,
-               cdf1, keep1, cdf3, keep3, *,
+               *rest,
                nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
-               band_g0, fit):
+               band_g0, fit, injected):
+    if injected:
+        uniforms, tau_out, ssa_out, asm_out, counts_out, \
+            cdf1, keep1, cdf3, keep3 = rest
+    else:
+        tau_out, ssa_out, asm_out, counts_out, \
+            cdf1, keep1, cdf3, keep3 = rest
+        uniforms = None
     """SW variant: the same subcolumn generation, then the cldprmc_sw
     combination (rrtmg_sw_cldprmc.F90:40-330) on VMEM-resident per-g
     water paths. The delta-scaling algebra is folded into the 6 per-band
@@ -476,7 +510,7 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
         cldy, ciwp_s, clwp_s = _gen_subcols(
             seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
             cdf1, keep1, cdf3, keep3, nsub=nsub, nlay=nlay, ncolb=ncolb,
-            inhm=inhm, cwp_tiny=cwp_tiny, fit=fit)
+            inhm=inhm, cwp_tiny=cwp_tiny, fit=fit, uniforms=uniforms)
 
         gband = jax.lax.broadcasted_iota(jnp.int32, (ncolb, nlay, nsub),
                                          2)
@@ -517,11 +551,13 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
 
 
 @partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",
-                                   "cloud_lm", "band_ng", "col_block"))
+                                   "cloud_lm", "band_ng", "col_block",
+                                   "interpret"))
 def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                           ext_i, scat_i, asy_i, ext_l, scat_l, asy_l,
                           *, nsub, inhm, cwp_tiny, cloud_mh,
-                          cloud_lm, band_ng, col_block=8):
+                          cloud_lm, band_ng, col_block=8,
+                          uniforms=None, interpret=False):
     """Fused McICA + SW cloud optics with delta scaling.
 
     Args mirror mcica_optics_lw_fused; the 6 delta-folded coefficient
@@ -554,7 +590,8 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
 
     kern = partial(_kernel_sw, nsub=nsub, nlay=nlay, ncolb=B, inhm=inhm,
                    cwp_tiny=cwp_tiny, cloud_mh=cloud_mh,
-                   cloud_lm=cloud_lm, band_g0=band_g0, fit=fit)
+                   cloud_lm=cloud_lm, band_g0=band_g0, fit=fit,
+                   injected=uniforms is not None)
     grid = (ncol // B,)
     row = lambda ncols=None: pl.BlockSpec(
         (B, nlay) if ncols is None else (B, nlay, ncols),
@@ -562,17 +599,25 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
         memory_space=pltpu.VMEM)
     gout = pl.BlockSpec((B, nlay, nsub), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((B, 2), lambda i: (i, 0),
+                     memory_space=pltpu.SMEM),         # seeds (mixed)
+        row(), row(), row(), row(), row(),              # alpha..clwp
+        row(), row(),                                   # is0, is1
+        row(nbnd), row(nbnd), row(nbnd),                # ice coeffs
+        row(nbnd), row(nbnd), row(nbnd),                # liq coeffs
+    ]
+    args = [mix_seed_pairs(seeds), alpha, rcorr, cldf, ciwp, clwp,
+            is0, is1, ext_i, scat_i, asy_i, ext_l, scat_l, asy_l]
+    if uniforms is not None:
+        in_specs.append(pl.BlockSpec((B, 4, nlay, nsub),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(uniforms)
     tau, ssa, asym, counts = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, 2), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),     # seeds (mixed)
-            row(), row(), row(), row(), row(),          # alpha..clwp
-            row(), row(),                               # is0, is1
-            row(nbnd), row(nbnd), row(nbnd),            # ice coeffs
-            row(nbnd), row(nbnd), row(nbnd),            # liq coeffs
-        ],
+        in_specs=in_specs,
         out_specs=[gout, gout, gout,
                    pl.BlockSpec((B, 4), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
@@ -586,6 +631,6 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                         for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(mix_seed_pairs(seeds), alpha, rcorr, cldf, ciwp, clwp, is0, is1,
-      ext_i, scat_i, asy_i, ext_l, scat_l, asy_l)
+        interpret=interpret,
+    )(*args)
     return tau, ssa, asym, counts.astype(jnp.int32)

@@ -123,3 +123,59 @@ def test_cross_scheme_chou_vs_rrtmg_clear():
     up_r = np.asarray(out_r["bbfu"][:, 0])
     up_c = np.asarray(out_c["flxu"][:, 0]) * s0
     assert np.all(np.abs(up_r - up_c) < 0.04 * s0), (up_r, up_c)
+
+
+def test_daylight_packing_nlit_identical():
+    """rrtmg_sw with the static lit-column bound (nlit) must reproduce
+    the full computation exactly: identical fluxes on lit columns,
+    exact zeros on night columns (PackIt/UnPackIt contract,
+    GEOS_SolarGridComp.F90:7753-7799). Mixed scene: some night columns,
+    some clear-day, some cloudy-day, nlit > true lit count to cover
+    partially-night slices."""
+    prof = make_profile(ncol=8, nlev=72, cloudy=True)
+    # mixed day/night: columns 2, 5 at night; 3 clear
+    cosz = np.full((8,), 0.6, np.float32)
+    cosz[2] = -0.1
+    cosz[5] = 0.0
+    prof = dict(prof)
+    prof["fcld"] = np.array(prof["fcld"])
+    prof["fcld"][3] = 0.0
+
+    def run(**kw):
+        ncol, nlev = prof["ta"].shape
+        ple = prof["ple"]
+        play = (0.5 * (ple[:, 1:] + ple[:, :-1]) * 0.01).astype(np.float32)
+        zm = np.asarray(mid_heights(play, prof["ta"], ple[:, -1]))
+        o3 = prof["oa"] * (28.966 / 47.9982)
+        h2o = prof["wa"] * (28.966 / 18.016) / (1.0 - prof["wa"])
+        dp = ple[:, 1:] - ple[:, :-1]
+        icq = np.where(prof["fcld"] > 0,
+                       1.0 / np.maximum(prof["fcld"], 1e-6), 0.0)
+        ciwp = prof["cwc"][..., 0] * dp * 1e3 / 9.80665 * icq
+        clwp = prof["cwc"][..., 1] * dp * 1e3 / 9.80665 * icq
+        alb = np.full((ncol,), 0.15, np.float32)
+        return rrtmg_sw(
+            ple, play, prof["ta"], cosz, alb, alb, alb, alb,
+            h2o.astype(np.float32), o3.astype(np.float32), prof["co2"],
+            prof["ch4"], np.full_like(prof["co2"], 0.2095),
+            prof["fcld"], ciwp.astype(np.float32),
+            clwp.astype(np.float32),
+            np.full_like(prof["fcld"], 60.0),
+            np.full_like(prof["fcld"], 10.0),
+            zm, np.full((ncol,), 0.7, np.float32), 100,
+            cloud_mh=prof["ict"], cloud_lm=prof["icb"], **kw)
+
+    full = run()
+    packed = run(nlit=7)        # true lit count is 6; bound has slack
+    for k in full:
+        if k == "clear_counts":
+            # night columns read fully clear under packing (SW cloud
+            # diagnostics are daytime-only, as in the reference)
+            np.testing.assert_array_equal(
+                np.asarray(packed[k])[[0, 1, 3, 4, 6, 7]],
+                np.asarray(full[k])[[0, 1, 3, 4, 6, 7]])
+            continue
+        np.testing.assert_allclose(np.asarray(packed[k]),
+                                   np.asarray(full[k]), rtol=1e-6,
+                                   atol=1e-6, err_msg=k)
+        assert not np.asarray(packed[k])[[2, 5]].any(), k

@@ -326,6 +326,139 @@ def test_ingest_roundtrip(tmp_path):
     assert d["minor_lower_gas_idx"][0] == 3
 
 
+def test_ingest_reversed_layout_and_char_names(tmp_path):
+    """The gpt-first (preserved-Fortran-axis-order) file variant and
+    NetCDF char-array [n, strlen] gas names must ingest to the SAME npz
+    as the C-order variant (VERDICT r4 next #7; the reference reads
+    this file family at GEOS_SolarGridComp.F90:4609-4621)."""
+    h5py = pytest.importorskip("h5py")
+    import sys
+    sys.path.insert(0, "tools")
+    from rrtmgp_ingest import convert
+    src = make_kdist()
+
+    def write(path, rev):
+        T = (lambda a: np.asarray(a).T) if rev else (lambda a: a)
+        with h5py.File(path, "w") as f:
+            if rev:
+                # char-array form: [ngas, strlen] single chars
+                f["gas_names"] = np.array(
+                    [list(s.ljust(32)) for s in GASES], "S1")
+                f["minor_gases_lower"] = np.array(
+                    [list("o3".ljust(32))], "S1")
+                f["scaling_gas_lower"] = np.array(
+                    [list(" " * 32)], "S1")
+            else:
+                f["gas_names"] = np.array(
+                    [s.ljust(32).encode() for s in GASES])
+                f["minor_gases_lower"] = np.array([b"o3".ljust(32)])
+                f["scaling_gas_lower"] = np.array([b"".ljust(32)])
+            f["press_ref"] = src["press_ref"]
+            f["press_ref_trop"] = src["press_ref_trop"]
+            f["temp_ref"] = src["temp_ref"]
+            f["vmr_ref"] = T(src["vmr_ref"])
+            # flavor is [2, nflav] in the file; with this fixture's
+            # nflav == 2 the transposed form is shape-ambiguous (real
+            # coefficient sets have >= 9 flavors, where size detection
+            # works), so both variants write the canonical orientation
+            f["flavor"] = src["flavor"].T
+            f["gpoint_flavor"] = T(src["gpoint_flavor"])
+            f["kmajor"] = T(src["kmajor"])
+            # 2 bands x 2 limits is shape-ambiguous like flavor above;
+            # the [nmin, 2] minor limits below do exercise the reversal
+            f["bnd_limits_gpt"] = src["band_lims_gpt"]
+            f["bnd_limits_wavenumber"] = src["band_lims_wvn"]
+            f["totplnk"] = T(src["totplnk"])
+            f["plank_fraction"] = T(src["planck_frac"])
+            f["kminor_lower"] = T(src["minor_lower"]["kminor"])
+            f["minor_limits_gpt_lower"] = T(
+                src["minor_lower"]["gpt_limits"])
+            f["minor_scales_with_density_lower"] = np.array([0], np.int8)
+            f["scale_by_complement_lower"] = np.array([0], np.int8)
+            f["solar_source"] = src["solar_src"]
+            f["rayl_lower"] = T(src["rayl"][0])
+            f["rayl_upper"] = T(src["rayl"][1])
+
+    pf, pr = tmp_path / "fwd.nc", tmp_path / "rev.nc"
+    write(pf, False)
+    write(pr, True)
+    of, orv = tmp_path / "fwd.npz", tmp_path / "rev.npz"
+    convert(str(pf), str(of))
+    convert(str(pr), str(orv))
+    df = np.load(of, allow_pickle=False)
+    dr = np.load(orv, allow_pickle=False)
+    assert set(df.files) == set(dr.files)
+    for k in df.files:
+        if df[k].dtype.kind in "SU":
+            assert (df[k] == dr[k]).all(), k
+        else:
+            np.testing.assert_array_equal(df[k], dr[k], err_msg=k)
+
+
+def test_minor_contributor_multi_flavor_range():
+    """A minor contributor whose gpt range spans TWO flavors must
+    resolve each g-point against ITS OWN flavor's eta weights
+    (mo_gas_optics_rrtmgp resolves flavor per g-point; the per-range
+    static loop in tau_minor groups by flavor). Brute-force check on a
+    range straddling the band-1/band-2 flavor boundary."""
+    data = make_kdist()
+    # move the minor range to g-points 7..10: flavors (1, 1, 2, 2).
+    # kminor is scaled so the contribution is ~10% of tau (with a tiny
+    # kminor the f32 taug ulp swamps the subtraction this test does)
+    rng = np.random.default_rng(7)
+    data["minor_lower"] = dict(
+        kminor=(1e-20 * (1.0 + rng.random((NT, NE, 4)))
+                ).astype(np.float32),
+        gpt_limits=np.array([[7, 10]], np.int64),
+        gas_idx=np.array([3], np.int64),
+        scales_with_density=np.array([False]),
+        scaling_gas=np.array([0], np.int64),
+        scale_by_complement=np.array([False]))
+    play, tlay, plev, tlev, tsfc, vmrs = make_atmos(ncol=2, nlay=6)
+    taug, _ = go.gas_optics_lw(data, play, tlay, plev, tlev, tsfc, vmrs)
+    data0 = dict(data, minor_lower=None)
+    taug0, _ = go.gas_optics_lw(data0, play, tlay, plev, tlev, tsfc,
+                                vmrs)
+    dtau = np.asarray(taug, np.float64) - np.asarray(taug0, np.float64)
+    # outside the range: no minor contribution
+    assert np.abs(dtau[..., :6]).max() == 0.0
+    assert np.abs(dtau[..., 10:]).max() == 0.0
+    # inside: each g-point must match a brute-force interpolation with
+    # the flavor that owns it
+    names = [str(s) for s in data["gas_names"]]
+    h2o = vmrs["h2o"]
+    _, col_dry = go.column_gas(jnp.asarray(plev, jnp.float64),
+                               jnp.ones_like(h2o), h2o)
+    col_gas = [col_dry] + [col_dry * vmrs.get(nm, jnp.zeros_like(h2o))
+                           for nm in names]
+    st = go.InterpState(data, jnp.asarray(play, jnp.float64),
+                        jnp.asarray(tlay, jnp.float64), col_gas)
+    km = np.asarray(data["minor_lower"]["kminor"], np.float64)
+    tropo = np.asarray(st.tropo)
+    scaling = np.asarray(col_gas[3], np.float64)
+    for j, g in enumerate(range(6, 10)):
+        fl = int(data["gpoint_flavor"][0, g]) - 1
+        want = np.zeros(play.shape)
+        jt0 = np.asarray(st.jtemp)
+        for dt in range(2):
+            w0, w1 = st.fminor(fl, dt)
+            jt = jt0 + dt
+            je = np.asarray(st.jeta[fl][dt])
+            w0 = np.asarray(w0, np.float64)
+            w1 = np.asarray(w1, np.float64)
+            for c in range(play.shape[0]):
+                for l in range(play.shape[1]):
+                    want[c, l] += (
+                        w0[c, l] * km[jt[c, l], je[c, l], j]
+                        + w1[c, l] * km[jt[c, l], je[c, l] + 1, j])
+        want *= scaling * tropo
+        got = dtau[..., g]
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
+        # tolerance is set by the f32 ulp of taug (~3.8e-6 at tau~30)
+        # against a ~10% contribution; a wrong flavor would be O(1) off
+        assert rel[tropo].max() < 5e-3, (g, rel.max())
+
+
 def test_col_dry_absolute_value_and_setcoef_crosscheck():
     """Pin the molec/cm^2 convention (ADVICE r3 high): a 1013.25 hPa
     dry column holds ~2.148e25 molec/cm^2, and column_gas must agree

@@ -10,15 +10,44 @@ there). RRTMGP coefficient files are NetCDF4/HDF5; h5py reads them
 directly (no netCDF4 dependency).
 
 Axis conventions in the source files (rrtmgp data repo):
-  kmajor [temp, eta, press+1, gpt] (some releases store gpt first -
-  both layouts are detected by dimension sizes)
-  kminor_lower/upper [temp, eta, contributor-gpt]
-  plank_fraction like kmajor; totplnk [temp_planck, band]
+  kmajor [temp, eta, press+1, gpt]; some releases (and the same file
+  family read through tools that preserve the Fortran axis order)
+  store the REVERSED layout [gpt, press+1, eta, temp]. Both are
+  detected from the unambiguous axis sizes (ntemp from temp_ref,
+  npress+1 from press_ref, ngpt from bnd_limits_gpt) and normalized
+  to the engine schema; same for kminor_lower/upper
+  [temp, eta, contributor-gpt], plank_fraction (like kmajor),
+  rayl_lower/upper [temp, eta, gpt], vmr_ref, flavor and
+  gpoint_flavor. totplnk [temp_planck, band].
+Gas-name variables appear either as string arrays or as NetCDF
+char arrays [n, strlen]; both decode through _str.
 """
 
 import sys
 
 import numpy as np
+
+
+def _normalize(a, want, name):
+    """Return `a` transposed so its shape matches the size-pattern
+    `want` (a tuple of ints, None = any size). The only layouts seen in
+    the wild are the schema order and its full reverse (C-order vs
+    preserved Fortran order), so that is what is detected; ambiguous
+    matches (both orders fit) are rejected rather than guessed."""
+    def fits(shape):
+        return len(shape) == len(want) and all(
+            w is None or s == w for s, w in zip(shape, want))
+
+    fwd, rev = fits(a.shape), fits(a.shape[::-1])
+    if fwd and rev and a.ndim > 1 and a.shape != a.shape[::-1]:
+        raise ValueError(
+            f"{name}: shape {a.shape} matches {want} both ways")
+    if fwd:
+        return a
+    if rev:
+        return a.transpose(range(a.ndim - 1, -1, -1))
+    raise ValueError(f"{name}: shape {a.shape} does not match {want} "
+                     "in either axis order")
 
 
 def _read_nc(path):
@@ -38,7 +67,7 @@ def _str(a):
     raise ValueError(a.dtype)
 
 
-def _minor_block(nc, which):
+def _minor_block(nc, which, ntemp):
     """Assemble one atmosphere-half's minor-contributor block."""
     km = nc.get(f"kminor_{which}")
     if km is None or km.size == 0:
@@ -50,10 +79,19 @@ def _minor_block(nc, which):
                     np.int64)
     sidx = np.array([0 if not g else gas_names.index(g) + 1
                      for g in scaling_gas], np.int64)
+    lims = _normalize(
+        np.asarray(nc[f"minor_limits_gpt_{which}"], np.int64),
+        (len(minor_gases), 2), f"minor_limits_gpt_{which}")
+    nk_total = int((lims[:, 1] - lims[:, 0] + 1).sum())
+    km = _normalize(np.asarray(km, np.float32),
+                    (ntemp, None, nk_total), f"kminor_{which}")
+    if km.shape[2] != nk_total:
+        raise ValueError(
+            f"kminor_{which} contributor axis {km.shape[2]} != "
+            f"sum of gpt ranges {nk_total}")
     return dict(
-        kminor=np.asarray(km, np.float32),
-        gpt_limits=np.asarray(
-            nc[f"minor_limits_gpt_{which}"], np.int64),
+        kminor=km,
+        gpt_limits=lims,
         gas_idx=gidx,
         scales_with_density=np.asarray(
             nc[f"minor_scales_with_density_{which}"], bool),
@@ -66,29 +104,47 @@ def _minor_block(nc, which):
 def convert(path_in, path_out):
     nc = _read_nc(path_in)
     gas_names = _str(nc["gas_names"])
+    ngas = len(gas_names)
+    press_ref = np.asarray(nc["press_ref"], np.float64)
+    temp_ref = np.asarray(nc["temp_ref"], np.float64)
+    ntemp, npp = temp_ref.size, press_ref.size + 1
+    band_lims_gpt = _normalize(
+        np.asarray(nc["bnd_limits_gpt"], np.int64),
+        (None, 2), "bnd_limits_gpt")
+    ngpt = int(band_lims_gpt.max())
     out = dict(
         gas_names=np.array(gas_names),
         h2o_idx=np.int64(gas_names.index("h2o") + 1),
-        press_ref=np.asarray(nc["press_ref"], np.float64),
+        press_ref=press_ref,
         press_ref_trop=np.float64(nc["press_ref_trop"]),
-        temp_ref=np.asarray(nc["temp_ref"], np.float64),
-        vmr_ref=np.asarray(nc["vmr_ref"], np.float64),
-        flavor=np.asarray(nc["flavor"], np.int64).T,
-        gpoint_flavor=np.asarray(nc["gpoint_flavor"], np.int64),
-        kmajor=np.asarray(nc["kmajor"], np.float32),
-        band_lims_gpt=np.asarray(nc["bnd_limits_gpt"], np.int64),
-        band_lims_wvn=np.asarray(nc["bnd_limits_wavenumber"],
-                                 np.float64),
+        temp_ref=temp_ref,
+        vmr_ref=_normalize(np.asarray(nc["vmr_ref"], np.float64),
+                           (2, ngas + 1, ntemp), "vmr_ref"),
+        flavor=_normalize(np.asarray(nc["flavor"], np.int64).T,
+                          (None, 2), "flavor"),
+        gpoint_flavor=_normalize(
+            np.asarray(nc["gpoint_flavor"], np.int64),
+            (2, ngpt), "gpoint_flavor"),
+        kmajor=_normalize(np.asarray(nc["kmajor"], np.float32),
+                          (ntemp, None, npp, ngpt), "kmajor"),
+        band_lims_gpt=band_lims_gpt,
+        band_lims_wvn=_normalize(
+            np.asarray(nc["bnd_limits_wavenumber"], np.float64),
+            (band_lims_gpt.shape[0], 2), "bnd_limits_wavenumber"),
     )
     for which in ("lower", "upper"):
-        blk = _minor_block(nc, which)
+        blk = _minor_block(nc, which, ntemp)
         if blk:
             for k, v in blk.items():
                 out[f"minor_{which}_{k}"] = v
     if "totplnk" in nc:
-        out["totplnk"] = np.asarray(nc["totplnk"], np.float64)
-        out["planck_frac"] = np.asarray(nc["plank_fraction"],
-                                        np.float32)
+        nbnd = band_lims_gpt.shape[0]
+        out["totplnk"] = _normalize(
+            np.asarray(nc["totplnk"], np.float64),
+            (None, nbnd), "totplnk")
+        out["planck_frac"] = _normalize(
+            np.asarray(nc["plank_fraction"], np.float32),
+            (ntemp, None, npp, ngpt), "plank_fraction")
         out["temp_ref_planck"] = np.asarray(
             nc.get("temperature_Planck",
                    np.arange(160.0, 160.0 + out["totplnk"].shape[0])),
@@ -97,8 +153,9 @@ def convert(path_in, path_out):
         q = nc.get("solar_source", nc.get("solar_source_quiet"))
         out["solar_src"] = np.asarray(q, np.float64)
         out["rayl"] = np.stack(
-            [np.asarray(nc["rayl_lower"], np.float32),
-             np.asarray(nc["rayl_upper"], np.float32)])
+            [_normalize(np.asarray(nc[f"rayl_{w}"], np.float32),
+                        (ntemp, None, ngpt), f"rayl_{w}")
+             for w in ("lower", "upper")])
     np.savez_compressed(path_out, **out)
     print(f"wrote {path_out}: "
           f"{out['kmajor'].shape[-1]} g-points, "

@@ -191,29 +191,36 @@ def main():
     out_o = rt.rtrnmc(emis, taug, pfracs, cloudy, taucmc,
                       coefs.planklay, coefs.planklev, coefs.plankbnd,
                       coefs.dplankbnd_dts, coefs.pwvcm, dudts=True)
-    # noise calibration: the exponential-overlap chain correlates a
-    # column's 140 subcolumns (few effective dof per column), so the
-    # column-mean all-sky flux difference between two INDEPENDENT
-    # realizations is O(W/m2) even at 2048 columns. Measure that floor
-    # with the oracle against itself under a different seed order, and
-    # gate the fused-vs-oracle delta against it; the same-RNG zcw A/B
-    # gate below is the precise (noise-free) bias instrument.
-    cldy_n, ci_n, cl_n = mcica.generate_stochastic_clouds(
-        zm, inp.lats, 172.0, play, inp.fcld, ciwp, clwp, 1.0e-20,
-        nsubcol=NGPTLW, inhm=1, seed_order=(1, 2, 3, 0))
-    tau_n, cloudy_n = cldprmc_lw(cldy_n, ci_n, cl_n, inp.ri, inp.rl)
-    out_n = rt.rtrnmc(emis, taug, pfracs, cloudy_n,
-                      jnp.swapaxes(tau_n, -1, -2), coefs.planklay,
-                      coefs.planklev, coefs.plankbnd,
-                      coefs.dplankbnd_dts, coefs.pwvcm, dudts=True)
+    # Noise calibration. The fused path and the oracle draw DIFFERENT
+    # subcolumn realizations (hardware PRNG vs threefry), so the
+    # column-mean all-sky flux difference carries realization noise;
+    # with per-column seed diversity (every column's seeds derive from
+    # its own fractional surface pressures, cloud_subcol_gen.F90:
+    # 336-400) the 2048 columns are independent realizations and the
+    # floor is small. Measure it as the MAX over several oracle-vs-
+    # oracle reseeds (a single-sample floor estimate is itself ~50%
+    # noisy - ADVICE r4 #2; and round 4's red gate was exactly a
+    # degenerate-seed scene collapsing the sample size to 1).
+    noise_means = []
+    for so in ((1, 2, 3, 0), (2, 3, 0, 1), (3, 0, 1, 2)):
+        cldy_n, ci_n, cl_n = mcica.generate_stochastic_clouds(
+            zm, inp.lats, 172.0, play, inp.fcld, ciwp, clwp, 1.0e-20,
+            nsubcol=NGPTLW, inhm=1, seed_order=so)
+        tau_n, cloudy_n = cldprmc_lw(cldy_n, ci_n, cl_n, inp.ri, inp.rl)
+        out_n = rt.rtrnmc(emis, taug, pfracs, cloudy_n,
+                          jnp.swapaxes(tau_n, -1, -2), coefs.planklay,
+                          coefs.planklev, coefs.plankbnd,
+                          coefs.dplankbnd_dts, coefs.pwvcm, dudts=True)
+        noise_means.append({k: np.asarray(out_n[k]).mean(axis=0)
+                            for k in ("uflx", "dflx")})
     for k in ("uflx", "dflx"):
         mean_f = np.asarray(out_f[k]).mean(axis=0)
         mean_o = np.asarray(out_o[k]).mean(axis=0)
-        mean_n = np.asarray(out_n[k]).mean(axis=0)
-        noise = float(np.abs(mean_n - mean_o).max())
+        noise = max(float(np.abs(nm[k] - mean_o).max())
+                    for nm in noise_means)
         err = float(np.abs(mean_f - mean_o).max())
         gate(f"fused_vs_oracle_meanflux.{k} (W/m2)", err,
-             max(3.0, 2.5 * noise))
+             max(0.5, 2.5 * noise))
 
     # ---- clear-sky END-TO-END: production TPU pipeline vs jnp oracle --
     # Clear-sky RRTMG is deterministic (no subcolumn draws matter), so
@@ -253,26 +260,25 @@ def main():
     outs_c = spcvmc_sw(scoefs, tg_s, tr_s, sflux, mu0d, abd, abf,
                        cy0, tc0, tc0, tc0)
     # The PIFM solver has a DISCRETE branch at the conservative-
-    # scattering threshold (reftra's zwo >= zwcrit = 0.9999995; the
-    # SAME knife edge exists in the reference,
-    # rrtmg_sw_spcvmc.F90:1212,1267, which only computes zwo itself in
-    # real*8). Near-Rayleigh g-points with taug ~ 5e-7*taur sit on it,
-    # and ulp-level wobble (bf16x3 taumol vs f32 gathers, XLA fusion
-    # order) flips isolated (column, g) cells between branches,
-    # shifting whole columns' flux profiles by O(0.1%). Control
-    # experiment (r4): even the PURE jnp oracle, staged-eager vs
-    # one-jit, flips 12/2048 columns (max 3.6e-4) - so an elementwise
-    # gate is ill-posed for ANY two compilations of this solver. The
-    # gate is per-COLUMN distributional: a real pipeline bug shifts
-    # every column; branch flips can only touch a small fraction.
+    # scattering threshold (zwo >= zwcrit = 0.9999995; same knife edge
+    # in the reference, rrtmg_sw_spcvmc.F90:1212,1267, stabilized there
+    # by real*8). Round 4 gated this at 5e-3 max / 5% flipped columns
+    # because ulp wobble in f32 zwo flipped isolated cells between
+    # branches. Round 5 removed the instability at its roots: the
+    # branch predicate is now evaluated from an EXACT relative
+    # (1 - w) = absorption/total supplied by the caller (spcvmc.py
+    # reftra_sw womz), and the non-conservative direct-beam resonance
+    # zrk*mu0 -> 1 is factored analytically, so recompilation wobble
+    # can no longer cross either threshold. Measured r5: 0 flipped
+    # columns, max 3.3e-5 - gates tightened 10x/10x per VERDICT r4 #5.
     for k in ("bbfu", "bbfd", "bbcu", "bbcd"):
         e = np.abs(np.asarray(outs_p[k], np.float64)
                    - np.asarray(outs_c[k], np.float64)) \
             / max(float(np.abs(np.asarray(outs_c[k])).max()), 1e-6)
         colmax = e.max(axis=1)
         gate(f"clearsky_e2e_sw.{k}.flipped_cols",
-             float((colmax > 5e-5).mean()), 0.05)
-        gate(f"clearsky_e2e_sw.{k}.max", float(e.max()), 5e-3)
+             float((colmax > 5e-5).mean()), 0.005)
+        gate(f"clearsky_e2e_sw.{k}.max", float(e.max()), 5e-4)
 
     # ---- same-RNG zcw A/B: polynomial fit vs exact table -------------
     # identical hardware-PRNG realizations through mcica_subcols_raw;
