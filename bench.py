@@ -183,7 +183,7 @@ def main():
     import jax
     from geosradiation_gridcomp_tpu.config import RadiationConfig
     from geosradiation_gridcomp_tpu.driver.step import (radiation_refresh,
-                                                        lit_column_bound)
+                                                        sw_partition_bounds)
     from __graft_entry__ import _example_inputs
 
     env = __import__("os").environ
@@ -208,19 +208,24 @@ def main():
     ict, icb = cfg.superlayer_indices(pmid)
     inp = jax.device_put(inp)
 
-    # SW daylight packing (NumLit, GEOS_SolarGridComp.F90:3684-3687):
-    # host-side bucketed lit-column bound; max over the bench's doy
-    # range so the bound stays valid as the terminator drifts
-    sw_nlit = None
+    # SW daylight packing + clear/cloudy solver split (NumLit,
+    # GEOS_SolarGridComp.F90:3684-3687 / rrtmg_sw_rad.F90:1130-1204):
+    # host-side bucketed bounds; max over the bench's doy range so the
+    # bounds stay valid as the terminator drifts
+    sw_nlit = sw_ncld = None
     if not env.get("BENCH_NO_DAYPACK"):
-        bounds = [lit_column_bound(inp.lons, inp.lats, d, 12.0, cfg)
+        bounds = [sw_partition_bounds(inp.lons, inp.lats, inp.fcld, d,
+                                      12.0, cfg)
                   for d in (172.0, 172.01)]
-        sw_nlit = (None if any(b is None for b in bounds)
-                   else max(bounds))
+        if not any(b[0] is None for b in bounds):
+            sw_nlit = max(b[0] for b in bounds)
+        if not any(b[1] is None for b in bounds):
+            sw_ncld = max(b[1] for b in bounds)
 
     def step(doy):
         return radiation_refresh(inp, doy, 12.0, config=cfg, ict=ict,
-                                 icb=icb, sw_nlit=sw_nlit)
+                                 icb=icb, sw_nlit=sw_nlit,
+                                 sw_ncld=sw_ncld)
 
     # warmup / compile
     sol, irr = step(172.0)
@@ -255,7 +260,7 @@ def main():
             "mean_cldfrac_in_cloudy": round(
                 float(fcld[fcld > 0].mean()), 3),
             "day_night": "mixed (lons span 0..6 rad)",
-            "sw_nlit": sw_nlit},
+            "sw_nlit": sw_nlit, "sw_ncld": sw_ncld},
     }))
 
 

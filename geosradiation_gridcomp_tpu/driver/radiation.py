@@ -104,7 +104,7 @@ def _incloud_paths(inp):
 
 def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
                   ict, icb, taua=None, ssaa=None, asya=None,
-                  nlit=None) -> SolarState:
+                  nlit=None, ncld=None) -> SolarState:
     """Full SW RT; stores NORMALIZED internals (fractions of TOA insolation
     at the refresh-time zenith angle). cosz: [ncol] mean cosine over the
     refresh interval (lit part).
@@ -115,20 +115,21 @@ def solar_refresh(inp: AtmosInputs, cosz, doy, config: RadiationConfig,
     GEOS_SolarGridComp.F90:3249-3259). Without aerosols the no-aerosol
     internals alias the all-sky ones, as in the reference."""
     st = _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
-                             taua, ssaa, asya, nlit)
+                             taua, ssaa, asya, nlit, ncld)
     if taua is None:
         return st._replace(flxnan=st.flxn, flcnan=st.flcn,
                            flxunan=st.flxun)
     if config.wants("no_aerosol"):
         na = _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
-                                 None, None, None, nlit)
+                                 None, None, None, nlit, ncld)
         return st._replace(flxnan=na.flxn, flcnan=na.flcn,
                            flxunan=na.flxun)
     return st
 
 
 def _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
-                        taua, ssaa, asya, nlit=None) -> SolarState:
+                        taua, ssaa, asya, nlit=None,
+                        ncld=None) -> SolarState:
     cwc, reff = _cwc_reff(inp)
     play, h2ovmr, o3vmr = _common_derived(inp)
 
@@ -208,7 +209,8 @@ def _solar_refresh_pass(inp, cosz, doy, config, ict, icb,
                    indsolvar=config.indsolvar,
                    iceflag=config.iceflag_sw, liqflag=config.liqflag_sw,
                    cloud_mh=ict, cloud_lm=icb,
-                   inhm=config.condensate_inhomogeneity, nlit=nlit)
+                   inhm=config.condensate_inhomogeneity, nlit=nlit,
+                   ncld=ncld)
     # normalize by refresh-time TOA insolation
     s0 = config.effective_scon() * jnp.maximum(cosz, 1e-6)
     inv = jnp.where(cosz > 0.0, 1.0 / s0, 0.0)

@@ -17,9 +17,11 @@ from .radiation import (AtmosInputs, solar_refresh, solar_update,
 from .astronomy import mean_cos_zenith
 
 
-@partial(jax.jit, static_argnames=("config", "ict", "icb", "sw_nlit"))
+@partial(jax.jit, static_argnames=("config", "ict", "icb", "sw_nlit",
+                                   "sw_ncld"))
 def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb,
-                      sw_aero=None, lw_aero=None, sw_nlit=None):
+                      sw_aero=None, lw_aero=None, sw_nlit=None,
+                      sw_ncld=None):
     """Full SW+LW refresh. Returns (solar_state, irrad_state).
 
     sw_aero: optional (taua, ssaa, asya) per-SW-band aerosol optics
@@ -32,6 +34,9 @@ def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb,
     (see models/rrtmg/sw.py rrtmg_sw nlit). Compute host-side from the
     refresh-interval insolation and bucket it so the set of compiled
     shapes stays small (lit_column_bound below does both).
+    sw_ncld: optional STATIC cloudy-lit-column bound (rrtmg_sw ncld):
+    the cloudy spcvmc pass runs only on that many (sorted-first)
+    columns. sw_partition_bounds below computes both bounds.
     """
     slr, lit = mean_cos_zenith(inp.lons, inp.lats, doy, utc_hours,
                                config.solar_dt / 3600.0)
@@ -44,7 +49,8 @@ def radiation_refresh(inp: AtmosInputs, doy, utc_hours, *, config, ict, icb,
     else:
         ltaua, lssaa, lasya = lw_aero, None, None
     sol = solar_refresh(inp, zth, doy, config, ict, icb,
-                        taua=staua, ssaa=sssaa, asya=sasya, nlit=sw_nlit)
+                        taua=staua, ssaa=sssaa, asya=sasya, nlit=sw_nlit,
+                        ncld=sw_ncld)
     irr = irrad_refresh(inp, doy, config, ict, icb,
                         taua=ltaua, ssaa=lssaa, asya=lasya)
     return sol, irr
@@ -81,3 +87,29 @@ def lit_column_bound(lons, lats, doy, utc_hours, config, bucket=256):
     ncol = int(lit.shape[0])
     nlit = min(-(-nlit // bucket) * bucket, ncol)
     return None if nlit >= ncol else nlit
+
+
+def sw_partition_bounds(lons, lats, fcld, doy, utc_hours, config,
+                        bucket=256):
+    """Host-side (sw_nlit, sw_ncld) bounds for the SW column partition.
+
+    sw_nlit as in lit_column_bound; sw_ncld bounds the cloudy columns
+    the cloudy spcvmc pass must cover - cloudy AND lit when packing is
+    active (night-cloudy columns sort into the night section), all
+    cloudy columns otherwise. Both rounded up to `bucket` to cap the
+    compiled-shape set. fcld: [ncol, nlay] cloud fraction (host or
+    device).
+    """
+    import numpy as np
+
+    _, lit = mean_cos_zenith(lons, lats, doy, utc_hours,
+                             config.solar_dt / 3600.0)
+    lit = np.asarray(lit) > 0.0
+    cloudy = (np.asarray(fcld) > 0.0).any(axis=1)
+    ncol = int(lit.shape[0])
+    up = lambda n: min(-(-int(n) // bucket) * bucket, ncol)
+    nlit = up(lit.sum())
+    nlit = None if nlit >= ncol else nlit
+    ncld = up((cloudy & lit).sum() if nlit is not None else cloudy.sum())
+    ncld = None if ncld >= (nlit if nlit is not None else ncol) else ncld
+    return nlit, ncld

@@ -87,16 +87,26 @@ def _make_down_kernel():
             radclrd[:] = jnp.zeros_like(radclrd)
             div[:] = jnp.zeros_like(div)
 
+        # per-layer optics vectorized over the whole [C, lps, G] slab
+        # (the spcvmc_pallas lesson, r5): the transcendental-heavy
+        # _layer_terms runs lps-wide, and only the cheap carried-
+        # radiance recursion below walks layers serially
+        play_slab = play_ref[:]                      # [C, lps, 16]
+        blay_gs = jnp.dot(play_slab, e16.T,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        dpl_gs = jnp.dot(plevn_ref[:] - play_slab, e16.T,
+                         preferred_element_type=jnp.float32,
+                         precision="highest")
+        a_eff_s, bbd_eff_s, agas_s, bbdgas_s = _layer_terms(
+            secd_ref[:][:, None, :], taug_ref[:], pfr_ref[:],
+            tcm_ref[:], blay_gs, dpl_gs)
+
         for i in range(_LPS):
-            blay_g = jnp.dot(play_ref[:, i, :], e16.T,
-                             preferred_element_type=jnp.float32,
-                             precision="highest")
-            dpl_g = jnp.dot(plevn_ref[:, i, :] - play_ref[:, i, :], e16.T,
-                            preferred_element_type=jnp.float32,
-                             precision="highest")
-            a_eff, bbd_eff, agas, bbdgas = _layer_terms(
-                secd_ref[:], taug_ref[:, i, :], pfr_ref[:, i, :],
-                tcm_ref[:, i, :], blay_g, dpl_g)
+            a_eff = a_eff_s[:, i, :]
+            bbd_eff = bbd_eff_s[:, i, :]
+            agas = agas_s[:, i, :]
+            bbdgas = bbdgas_s[:, i, :]
 
             div_new = jnp.maximum(div[:], cldy_ref[i, :][:, None])
             radld_new = radld[:] + (bbd_eff - radld[:]) * a_eff
@@ -154,16 +164,22 @@ def _make_up_kernel(i_sfc, dudts):
                 ducsfc_ref[:, 0] = jnp.sum(d0 * dw, axis=1)
 
         divany = divany_ref[:] > 0.0
+        # slab-vectorized layer optics (see _make_down_kernel)
+        play_slab = play_ref[:]
+        blay_gs = jnp.dot(play_slab, e16.T,
+                          preferred_element_type=jnp.float32,
+                          precision="highest")
+        dpl_gs = jnp.dot(plevt_ref[:] - play_slab, e16.T,
+                         preferred_element_type=jnp.float32,
+                         precision="highest")
+        a_eff_s, bbu_eff_s, agas_s, bbugas_s = _layer_terms(
+            secd_ref[:][:, None, :], taug_ref[:], pfr_ref[:],
+            tcm_ref[:], blay_gs, dpl_gs)
         for i in reversed(range(_LPS)):
-            blay_g = jnp.dot(play_ref[:, i, :], e16.T,
-                             preferred_element_type=jnp.float32,
-                             precision="highest")
-            dpl_g = jnp.dot(plevt_ref[:, i, :] - play_ref[:, i, :], e16.T,
-                            preferred_element_type=jnp.float32,
-                             precision="highest")
-            a_eff, bbu_eff, agas, bbugas = _layer_terms(
-                secd_ref[:], taug_ref[:, i, :], pfr_ref[:, i, :],
-                tcm_ref[:, i, :], blay_g, dpl_g)
+            a_eff = a_eff_s[:, i, :]
+            bbu_eff = bbu_eff_s[:, i, :]
+            agas = agas_s[:, i, :]
+            bbugas = bbugas_s[:, i, :]
 
             radlu_new = radlu[:] + (bbu_eff - radlu[:]) * a_eff
             radclru_new = jnp.where(
@@ -269,6 +285,8 @@ def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
         scratch_shapes=[pltpu.VMEM((C, ngpt), f32),
                         pltpu.VMEM((C, ngpt), f32),
                         pltpu.VMEM((C, 1), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(dw_arr, e16_arr, secd, taug, pfracs, taucmc, cldy_t, planklay,
       planklev_next)
@@ -310,6 +328,8 @@ def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
                         pltpu.VMEM((C, ngpt), f32),
                         pltpu.VMEM((C, ngpt), f32),
                         pltpu.VMEM((C, ngpt), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(dw_arr, e16_arr, secd, taug, pfracs, taucmc, planklay, planklev_top,
       semiss, plankbnd, dplankbnd_dts, rsfc, rcsfc, divany)

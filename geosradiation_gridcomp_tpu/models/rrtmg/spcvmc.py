@@ -219,13 +219,22 @@ def vrtqdr_sw(ref, tra, refd, trad, ref_sfc_dir, ref_sfc_dif, dbt, tdbt):
 
 def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
               cldymc, taucmc, ssacmc, asmcmc,
-              taua=None, ssaa=None, asya=None, adjflux=1.0):
+              taua=None, ssaa=None, asya=None, adjflux=1.0, ncld=None):
     """SW flux solver over 112 g-points, clear + McICA-cloudy passes.
 
     coefs: SWCoefs; taug/taur [ncol, nlay, 112]; sfluxzen [ncol, 112];
     mu0 [ncol]; albdir/albdif [ncol, 14]; cloud arrays [ncol, nlay, 112];
     taua/ssaa/asya: optional aerosol optics [ncol, nlay, 14].
     adjflux: scalar Earth-Sun distance factor.
+    ncld: optional STATIC bound on the number of LEADING columns that
+    can be cloudy (caller sorts cloudy-first and buckets the count, as
+    with rrtmg_sw's nlit). The cloudy two-stream+adding pass - the
+    expensive half of this solver - then runs only on those columns;
+    for the rest the all-sky outputs ALIAS the clear-sky solve, which
+    is what the cloudy pass degenerates to on a clear column anyway
+    (tau_all == ztauo_c elementwise). This is the solver half of the
+    reference's clear/cloudy gridcolumn partitioning
+    (rrtmg_sw_rad.F90:1130-1204).
 
     Returns dict of [ncol, nlay+1] fluxes (W/m^2): bbfu, bbfd, bbcu, bbcd,
     bbfddir, bbcddir, uvfd, uvcd, uvfddir, uvcddir, nifd, nicd, nifddir,
@@ -233,6 +242,8 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     """
     dtype = taug.dtype
     ncol, nlay, ngpt = taug.shape
+    if ncld is not None and ncld >= ncol:
+        ncld = None
     mu0c = jnp.maximum(mu0, 1e-4)
 
     ngb = _NGB14                                  # 1..14 per g
@@ -263,32 +274,52 @@ def spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     ref_sfc_dir = albdir[..., ngb - 1]
     ref_sfc_dif = albdif[..., ngb - 1]
 
-    def solve(tau, w, g, womz):
-        ref, tra, refd, trad = reftra_sw(tau, w, g, mu0c, womz)
-        dbt = jnp.exp(-jnp.minimum(tau / mu0c[..., None, None], 500.0))
+    def solve(tau, w, g, womz, mu0v, rdir, rdif):
+        ref, tra, refd, trad = reftra_sw(tau, w, g, mu0v, womz)
+        dbt = jnp.exp(-jnp.minimum(tau / mu0v[..., None, None], 500.0))
         tdbt = jnp.concatenate(
             [jnp.ones_like(dbt[..., :1, :]),
              jnp.cumprod(dbt, axis=-2)], axis=-2)
-        fd, fu = vrtqdr_sw(ref, tra, refd, trad, ref_sfc_dir, ref_sfc_dif,
-                           dbt, tdbt)
+        fd, fu = vrtqdr_sw(ref, tra, refd, trad, rdir, rdif, dbt, tdbt)
         return fd, fu, tdbt
 
-    fd_c, fu_c, tdbt_c = solve(ztauo_c, zomco_c, zgco_c, womz_c)
-
-    # cloudy: add (already delta-scaled) cloud optics where cloudy
-    tg = ztauo_c * zomco_c * zgco_c + taucmc * ssacmc * asmcmc
-    to_ = ztauo_c * zomco_c + taucmc * ssacmc
-    tt = ztauo_c + taucmc
+    # cloudy: add (already delta-scaled) cloud optics where cloudy;
+    # under ncld only the leading (sorted-cloudy) columns pay the pass
+    cs = (lambda x: x) if ncld is None else (lambda x: x[:ncld])
+    tauo_s, omco_s, gco_s, womz_s = map(
+        cs, (ztauo_c, zomco_c, zgco_c, womz_c))
+    cldy_s, tcm_s, scm_s, acm_s = map(
+        cs, (cldymc, taucmc, ssacmc, asmcmc))
+    tg = tauo_s * omco_s * gco_s + tcm_s * scm_s * acm_s
+    to_ = tauo_s * omco_s + tcm_s * scm_s
+    tt = tauo_s + tcm_s
     g_all = tg / jnp.maximum(to_, 1e-30)
     w_all = to_ / tt
     # 1 - w_all = (absorption_clear + absorption_cloud)/total, exact
-    womz_all = (ztauo_c * womz_c + taucmc * (1.0 - ssacmc)) / tt
-    tau_all = jnp.where(cldymc, tt, ztauo_c)
-    w_all = jnp.where(cldymc, w_all, zomco_c)
-    g_all = jnp.where(cldymc, g_all, zgco_c)
-    womz_all = jnp.where(cldymc, womz_all, womz_c)
+    womz_all = (tauo_s * womz_s + tcm_s * (1.0 - scm_s)) / tt
+    tau_all = jnp.where(cldy_s, tt, tauo_s)
+    w_all = jnp.where(cldy_s, w_all, omco_s)
+    g_all = jnp.where(cldy_s, g_all, gco_s)
+    womz_all = jnp.where(cldy_s, womz_all, womz_s)
 
-    fd_a, fu_a, tdbt_a = solve(tau_all, w_all, g_all, womz_all)
+    # NOTE (r5 measurement): stacking the clear+all-sky solves along the
+    # g-axis (one 224-g solve) does NOT help - the adding scans are
+    # bandwidth-bound, so halving the step count while doubling step
+    # width is a wash, and the concat/split copies cost ~3 ms at
+    # 2048x72. Separate solves are kept.
+    fd_c, fu_c, tdbt_c = solve(ztauo_c, zomco_c, zgco_c, womz_c,
+                               mu0c, ref_sfc_dir, ref_sfc_dif)
+    if ncld is None:
+        fd_a, fu_a, tdbt_a = solve(tau_all, w_all, g_all, womz_all,
+                                   mu0c, ref_sfc_dir, ref_sfc_dif)
+    else:
+        fd_h, fu_h, tdbt_h = solve(tau_all, w_all, g_all, womz_all,
+                                   mu0c[:ncld], ref_sfc_dir[:ncld],
+                                   ref_sfc_dif[:ncld])
+        cat = lambda h, c: jnp.concatenate([h, c[ncld:]], axis=0)
+        fd_a = cat(fd_h, fd_c)
+        fu_a = cat(fu_h, fu_c)
+        tdbt_a = cat(tdbt_h, tdbt_c)
 
     # incident flux per g-point
     zincflx = adjflux * sfluxzen * mu0c[..., None]     # [ncol, ngpt]

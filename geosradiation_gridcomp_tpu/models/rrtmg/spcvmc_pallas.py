@@ -8,32 +8,30 @@ what the jnp oracle (spcvmc.py) does in ~30 HBM-materialized
   * up-pass: walks layer chunks surface->TOA, derives clear-sky optics
     from taug/taur/aerosol and all-sky optics by adding the McICA cloud
     optics IN VMEM, evaluates the PIFM reflectance/transmittance for
-    BOTH streams from one read of the inputs, and stores only the
-    4 composite-below-level fields (prup/prupd x {clear, all}).
+    BOTH streams from one read of the inputs - vectorized over the
+    whole layer slab (see _slab_optics) - and stores the 4
+    composite-below-level fields (prup/prupd x {clear, all}) plus the
+    R/T+dbt slabs for the down pass.
   * down-pass: walks TOA->surface carrying (ztdn, rdnd, tdbt) per
-    stream, re-derives the layer optics (recompute beats the HBM round
-    trip of 8 R/T fields), combines with the stored composites, and
-    emits only band-aggregated flux rows [nlev, ncol] plus the surface
-    band-resolved quantities - nothing per-g ever returns to HBM.
-
-So the duplicated clear+total full solve of the oracle (VERDICT round 2
-weak #3) collapses into one pass that shares every input read, and the
-HBM traffic per (column, layer, g) cell drops from ~250 B to ~36 B.
+    stream, streams the stored R/T back (overlapped DMA beats
+    recomputing the transcendental-heavy reftra, the kernel's dominant
+    VPU cost), combines with the stored composites, and emits only
+    band-aggregated flux rows [nlev, ncol] plus the surface
+    band-resolved quantities - per-g fluxes never return to HBM.
 
 Layer ordering is TOA-first; layers are padded to a multiple of 8 with
 zero-optics layers (exact no-ops for both sweeps: R=0, T=1, dbt=1) and
 the pad sits below the surface, where both sweeps are identities.
 
-PERF NOTE (round-3 measurement on v5e, 2048x72): this kernel runs
-64 ms vs 6.8 ms for the jnp oracle (spcvmc.spcvmc_sw) - XLA fuses the
-elementwise PIFM optics across the full [ncol, nlay, 112] batch and
-pipelines the adding scans far better than this streaming formulation,
-whose per-(column-block, layer) serial chains leave the VPU idle. The
-production dispatch therefore uses the jnp solver on every backend
-(models/rrtmg/sw.py); this kernel is kept as an oracle-checked
-alternative and a record of the design space (the same streaming
-structure IS the right call for rtrnmc, whose per-g work is ~10x
-smaller and whose jnp scan materializes 14 HBM temporaries).
+PERF NOTE (round-5 measurement, 2048x72 cloudy): 8.0 ms at
+block_cols=128 vs 13.6 ms for the jnp oracle (spcvmc.spcvmc_sw), with
+identical outputs to ~2e-5. The round-3 version of this kernel ran
+64 ms because every reftra was evaluated per-LAYER on (8, 112) planes -
+one vreg per op, so the long sequentially-dependent chain paid full op
+latency ~1600 times per grid step; slab vectorization + storing R/T
+instead of recomputing it in the down pass recovered a 1.7x win over
+XLA's dense pipeline. Production dispatch (models/rrtmg/sw.py) uses
+this kernel on TPU and the jnp oracle elsewhere.
 """
 
 from functools import partial
@@ -55,11 +53,12 @@ _ZWCRIT = 0.9999995
 
 
 def _expand14(row, gband, band_g0):
-    """[C, 14] band row -> [C, G] per-g plane by static band selects."""
+    """[C, lps, 14] band rows -> [C, lps, G] per-g planes by static
+    band selects (gband: [C, lps, G] g-index iota)."""
     out = jnp.zeros(gband.shape, jnp.float32)
     for b in range(14):
         m = (gband >= band_g0[b]) & (gband < band_g0[b + 1])
-        out = jnp.where(m, row[:, b][:, None], out)
+        out = jnp.where(m, row[..., b][..., None], out)
     return out
 
 
@@ -159,15 +158,23 @@ def _reftra(tau, w, g, mu0, womz=None):
     return ref, tra, refd, trad
 
 
-def _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
-                  tcm_ref, scm_ref, acm_ref, mu0, gband, band_g0):
-    """Clear + all-sky (tau, w, g) and direct transmittances of layer i
-    of the chunk; everything [C, G]. Mirrors spcvmc.py:200-235."""
-    tg = taug_ref[:, i, :]
-    tr = taur_ref[:, i, :]
-    ta = _expand14(ta_ref[:, i, :], gband, band_g0)
-    sa = _expand14(sa_ref[:, i, :], gband, band_g0)
-    ga = _expand14(ga_ref[:, i, :], gband, band_g0)
+def _slab_optics(taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
+                 tcm_ref, scm_ref, acm_ref, mu0, gband, band_g0):
+    """Clear + all-sky (tau, w, g) and direct transmittances for the
+    WHOLE [C, lps, G] layer slab at once. Mirrors spcvmc.py:200-235.
+
+    Vectorizing over the slab's layer axis is the difference between
+    this kernel winning and losing (r5 measurement): per-layer 2-D
+    planes are ~7 vregs per VPU op, so the long sequentially-dependent
+    reftra chain pays full op latency ~1600 times per grid step
+    (~200 us/step, 70 ms total); slab ops are lps x wider, and only the
+    cheap adding recursion (_up_step/_down_adv, ~10 ops/layer) stays
+    serial."""
+    tg = taug_ref[:]
+    tr = taur_ref[:]
+    ta = _expand14(ta_ref[:], gband, band_g0)
+    sa = _expand14(sa_ref[:], gband, band_g0)
+    ga = _expand14(ga_ref[:], gband, band_g0)
 
     ztauo = tr + tg + ta
     zomco_n = tr + ta * sa
@@ -182,9 +189,9 @@ def _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
     womz_c = (tg + ta * (1.0 - sa)) / jnp.maximum(ztauo, 1e-30) \
         / jnp.maximum(1.0 - zwf, 1e-12)
 
-    tcm = tcm_ref[:, i, :]
-    scm = scm_ref[:, i, :]
-    acm = acm_ref[:, i, :]
+    tcm = tcm_ref[:]
+    scm = scm_ref[:]
+    acm = acm_ref[:]
     tg_all = tau_c * w_c * g_c + tcm * scm * acm
     to_all = tau_c * w_c + tcm * scm
     tt = tau_c + tcm
@@ -210,15 +217,16 @@ def _up_step(rup, rupd, ref, tra, refd, trad, dbt):
     return rup_n, rupd_n
 
 
-def _make_up_kernel(band_g0):
+def _make_up_kernel(band_g0, lps=_LPS):
     def kernel(taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
                tcm_ref, scm_ref, acm_ref, adir_ref, adif_ref, mu0_ref,
                pru_a_ref, prd_a_ref, pru_c_ref, prd_c_ref,
+               rt_c_ref, rt_a_ref,
                rup_a, rupd_a, rup_c, rupd_c):
         l = pl.program_id(1)
-        mu0 = mu0_ref[:]
+        mu0 = mu0_ref[:][:, :, None]                   # [C, 1, 1]
         gband = jax.lax.broadcasted_iota(
-            jnp.int32, rup_a.shape, rup_a.ndim - 1)
+            jnp.int32, taug_ref.shape, 2)
 
         @pl.when(l == 0)
         def _():
@@ -227,14 +235,37 @@ def _make_up_kernel(band_g0):
             rup_c[:] = adir_ref[:]
             rupd_c[:] = adif_ref[:]
 
-        for i in reversed(range(_LPS)):
-            co, ao = _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref,
-                                   ga_ref, tcm_ref, scm_ref, acm_ref,
-                                   mu0, gband, band_g0)
-            rc = _reftra(*co[:3], mu0, co[4])
-            ra = _reftra(*ao[:3], mu0, ao[4])
-            rup_c_n, rupd_c_n = _up_step(rup_c[:], rupd_c[:], *rc, co[3])
-            rup_a_n, rupd_a_n = _up_step(rup_a[:], rupd_a[:], *ra, ao[3])
+        # all expensive work (optics + PIFM reftra, both streams) runs
+        # vectorized over the whole slab; only the adding recursion
+        # below walks layers serially. The R/T slabs are also emitted
+        # for the down pass: re-reading ~0.7 GB of stored fields
+        # overlaps with compute, while recomputing them would double
+        # the kernel's dominant VPU cost (r5 measurement: 11.6 ms
+        # recompute vs 8.5 ms store+reload at 2048x72).
+        co, ao = _slab_optics(taug_ref, taur_ref, ta_ref, sa_ref,
+                              ga_ref, tcm_ref, scm_ref, acm_ref,
+                              mu0, gband, band_g0)
+        rc = _reftra(*co[:3], mu0, co[4])
+        ra = _reftra(*ao[:3], mu0, ao[4])
+        for j in range(4):
+            rt_c_ref[j] = rc[j]
+            rt_a_ref[j] = ra[j]
+        rt_c_ref[4] = co[3]
+        rt_a_ref[4] = ao[3]
+
+        # NOTE (r5): a per-block clear-skip (@pl.when on an SMEM flag,
+        # aliasing the all-sky stream to the clear one for sorted-clear
+        # blocks) was tried here and REGRESSED 8.0 -> 9-12 ms on a
+        # cloudy scene: the branch bodies double Mosaic's live ranges
+        # and the split adding chains lose the latency overlap of the
+        # interleaved loop below. The clear-column split lives in the
+        # jnp solver instead (spcvmc.spcvmc_sw ncld).
+        for i in reversed(range(lps)):
+            sl = lambda t: t[:, i, :]
+            rup_c_n, rupd_c_n = _up_step(rup_c[:], rupd_c[:],
+                                         *map(sl, rc), sl(co[3]))
+            rup_a_n, rupd_a_n = _up_step(rup_a[:], rupd_a[:],
+                                         *map(sl, ra), sl(ao[3]))
             rup_c[:] = rup_c_n
             rupd_c[:] = rupd_c_n
             rup_a[:] = rup_a_n
@@ -263,11 +294,11 @@ def _down_adv(ztdn, rdnd, tdbt, ref, tra, refd, trad, dbt):
     return ztdn_n, rdnd_n, tdbt * dbt
 
 
-def _make_down_kernel(band_g0):
-    def kernel(taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
-               tcm_ref, scm_ref, acm_ref, adir_ref, adif_ref, mu0_ref,
+def _make_down_kernel(band_g0, lps=_LPS):
+    def kernel(adir_ref, adif_ref,
                zinc_ref, uvm_ref, nim_ref, s17_ref,
                pru_a_ref, prd_a_ref, pru_c_ref, prd_c_ref,
+               rt_c_ref, rt_a_ref,
                bbfu_ref, bbfd_ref, bbcu_ref, bbcd_ref,
                bbfdir_ref, bbcdir_ref,
                uvfd_ref, uvcd_ref, uvfdir_ref, uvcdir_ref,
@@ -276,12 +307,9 @@ def _make_down_kernel(band_g0):
                ztdn_a, rdnd_a, tdbt_a, ztdn_c, rdnd_c, tdbt_c):
         l = pl.program_id(1)
         nsteps = pl.num_programs(1)
-        mu0 = mu0_ref[:]
         zinc = zinc_ref[:]
         uvm = uvm_ref[:]
         nim = nim_ref[:]
-        gband = jax.lax.broadcasted_iota(
-            jnp.int32, ztdn_a.shape, ztdn_a.ndim - 1)
 
         @pl.when(l == 0)
         def _():
@@ -294,7 +322,15 @@ def _make_down_kernel(band_g0):
             rdnd_c[:] = zero
             tdbt_c[:] = one
 
-        for i in range(_LPS):
+        # R/T + direct transmittance computed once by the up kernel,
+        # streamed back here (see _make_up_kernel)
+        rc = tuple(rt_c_ref[j] for j in range(4))
+        ra = tuple(rt_a_ref[j] for j in range(4))
+        dbt_c_slab = rt_c_ref[4]
+        dbt_a_slab = rt_a_ref[4]
+        sl2 = lambda t, i: t[:, i, :]
+
+        for i in range(lps):
             # flux at level k = chunk*LPS + i from the carried
             # above-composite and the stored below-composite
             fd_a, fu_a = _lev_flux(tdbt_a[:], ztdn_a[:], rdnd_a[:],
@@ -323,18 +359,15 @@ def _make_down_kernel(band_g0):
             nicdir_ref[0, i, :] = jnp.sum(zc_dir * nim, axis=1)
 
             # advance the composites through layer k
-            co, ao = _layer_optics(i, taug_ref, taur_ref, ta_ref, sa_ref,
-                                   ga_ref, tcm_ref, scm_ref, acm_ref,
-                                   mu0, gband, band_g0)
-            rc = _reftra(*co[:3], mu0, co[4])
-            ra = _reftra(*ao[:3], mu0, ao[4])
-            zn, rn, tn = _down_adv(ztdn_c[:], rdnd_c[:], tdbt_c[:],
-                                   *rc, co[3])
+            zn, rn, tn = _down_adv(
+                ztdn_c[:], rdnd_c[:], tdbt_c[:],
+                *(sl2(t, i) for t in rc), sl2(dbt_c_slab, i))
             ztdn_c[:] = zn
             rdnd_c[:] = rn
             tdbt_c[:] = tn
-            zn, rn, tn = _down_adv(ztdn_a[:], rdnd_a[:], tdbt_a[:],
-                                   *ra, ao[3])
+            zn, rn, tn = _down_adv(
+                ztdn_a[:], rdnd_a[:], tdbt_a[:],
+                *(sl2(t, i) for t in ra), sl2(dbt_a_slab, i))
             ztdn_a[:] = zn
             rdnd_a[:] = rn
             tdbt_a[:] = tn
@@ -398,7 +431,7 @@ def _sfc_sel_mat():
 def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
                 cldymc, taucmc, ssacmc, asmcmc,
                 taua=None, ssaa=None, asya=None, adjflux=1.0,
-                block_cols=8, interpret=None):
+                block_cols=128, lps=_LPS, interpret=None):
     """Drop-in replacement for spcvmc.spcvmc_sw using Pallas kernels.
 
     Same contract as spcvmc_sw (TOA-first; albdir/albdif [ncol, 14]).
@@ -418,11 +451,11 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
 
     C = min(block_cols, max(8, ncol))
     npad = (-ncol) % C
-    lpad = (-nlay) % _LPS
+    lpad = (-nlay) % lps
     nlayp = nlay + lpad
     nc = ncol + npad
     nb = nc // C
-    nsteps = nlayp // _LPS
+    nsteps = nlayp // lps
 
     def padl(x):
         return jnp.pad(x, [(0, npad), (0, lpad)] + [(0, 0)]
@@ -444,50 +477,55 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
 
     band_g0 = tuple(int(x) for x in _G0)
     f32 = jnp.float32
-    lay_spec = pl.BlockSpec((C, _LPS, ngpt), lambda b, l: (b, l, 0))
-    lay14 = pl.BlockSpec((C, _LPS, 14), lambda b, l: (b, l, 0))
+    lay_spec = pl.BlockSpec((C, lps, ngpt), lambda b, l: (b, l, 0))
+    lay14 = pl.BlockSpec((C, lps, 14), lambda b, l: (b, l, 0))
     col_g = pl.BlockSpec((C, ngpt), lambda b, l: (b, 0))
     col1 = pl.BlockSpec((C, 1), lambda b, l: (b, 0))
     row_g = pl.BlockSpec((1, ngpt), lambda b, l: (0, 0))
     # up pass visits chunks bottom-up
     rev = lambda b, l: (b, nsteps - 1 - l, 0)
-    rev_lay = pl.BlockSpec((C, _LPS, ngpt), rev)
-    rev_lay14 = pl.BlockSpec((C, _LPS, 14), rev)
-    # composite storage is layer-major [nlayp, nc, ngpt]
-    rev_pr = pl.BlockSpec((_LPS, C, ngpt),
+    rev_lay = pl.BlockSpec((C, lps, ngpt), rev)
+    rev_lay14 = pl.BlockSpec((C, lps, 14), rev)
+    # composite storage is layer-major [nlayp, nc, ngpt]; the R/T+dbt
+    # slabs keep the kernel's (C, lps, G) compute layout, stacked on a
+    # leading field axis (0: ref, 1: tra, 2: refd, 3: trad, 4: dbt)
+    rev_pr = pl.BlockSpec((lps, C, ngpt),
                           lambda b, l: (nsteps - 1 - l, b, 0))
     pr_shape = jax.ShapeDtypeStruct((nlayp, nc, ngpt), f32)
+    rev_rt = pl.BlockSpec((5, C, lps, ngpt),
+                          lambda b, l: (0, b, nsteps - 1 - l, 0))
+    rt_shape = jax.ShapeDtypeStruct((5, nc, nlayp, ngpt), f32)
 
-    pru_a, prd_a, pru_c, prd_c = pl.pallas_call(
-        _make_up_kernel(band_g0),
+    pru_a, prd_a, pru_c, prd_c, rt_c, rt_a = pl.pallas_call(
+        _make_up_kernel(band_g0, lps),
         grid=(nb, nsteps),
         in_specs=[rev_lay, rev_lay, rev_lay14, rev_lay14, rev_lay14,
                   rev_lay, rev_lay, rev_lay, col_g, col_g, col1],
-        out_specs=[rev_pr, rev_pr, rev_pr, rev_pr],
-        out_shape=[pr_shape] * 4,
+        out_specs=[rev_pr, rev_pr, rev_pr, rev_pr, rev_rt, rev_rt],
+        out_shape=[pr_shape] * 4 + [rt_shape] * 2,
         scratch_shapes=[pltpu.VMEM((C, ngpt), f32) for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(taug_p, taur_p, taua_p, ssaa_p, asya_p, tcm_p, scm_p, acm_p,
       adir_g, adif_g, mu0_p)
 
-    fwd_pr = pl.BlockSpec((_LPS, C, ngpt), lambda b, l: (l, b, 0))
+    fwd_pr = pl.BlockSpec((lps, C, ngpt), lambda b, l: (l, b, 0))
+    fwd_rt = pl.BlockSpec((5, C, lps, ngpt), lambda b, l: (0, b, l, 0))
     # per-level aggregated outputs: [nb, nlayp, C] so the block's last
     # dim equals the array's (legal for any C); reassembled below
-    trow = pl.BlockSpec((1, _LPS, C), lambda b, l: (b, l, 0))
+    trow = pl.BlockSpec((1, lps, C), lambda b, l: (b, l, 0))
     lev_shape = jax.ShapeDtypeStruct((nb, nlayp, C), f32)
     col17 = pl.BlockSpec((C, 17), lambda b, l: (b, 0))
     sfc_spec = pl.BlockSpec((C, 14), lambda b, l: (b, 0))
 
     outs = pl.pallas_call(
-        _make_down_kernel(band_g0),
+        _make_down_kernel(band_g0, lps),
         grid=(nb, nsteps),
-        in_specs=[lay_spec, lay_spec, lay14, lay14, lay14,
-                  lay_spec, lay_spec, lay_spec, col_g, col_g, col1,
+        in_specs=[col_g, col_g,
                   col_g, row_g, row_g,
                   pl.BlockSpec((ngpt, 17), lambda b, l: (0, 0)),
-                  fwd_pr, fwd_pr, fwd_pr, fwd_pr],
+                  fwd_pr, fwd_pr, fwd_pr, fwd_pr, fwd_rt, fwd_rt],
         out_specs=[trow] * 14 + [sfc_spec, col17, col17, col17],
         out_shape=[lev_shape] * 14 + [
             jax.ShapeDtypeStruct((nc, 14), f32),
@@ -496,11 +534,10 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
             jax.ShapeDtypeStruct((nc, 17), f32)],
         scratch_shapes=[pltpu.VMEM((C, ngpt), f32) for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(taug_p, taur_p, taua_p, ssaa_p, asya_p, tcm_p, scm_p, acm_p,
-      adir_g, adif_g, mu0_p, zincflx, uvm, nim, _sfc_sel_mat(),
-      pru_a, prd_a, pru_c, prd_c)
+    )(adir_g, adif_g, zincflx, uvm, nim, _sfc_sel_mat(),
+      pru_a, prd_a, pru_c, prd_c, rt_c, rt_a)
 
     (bbfu_b, bbfd_b, bbcu_b, bbcd_b, bbfdir_b, bbcdir_b,
      uvfd_b, uvcd_b, uvfdir_b, uvcdir_b,

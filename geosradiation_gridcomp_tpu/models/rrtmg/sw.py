@@ -36,7 +36,7 @@ RRSW_SCON = 1368.22    # internal solar constant of the k-tables (rrsw_con)
 @partial(jax.jit, static_argnames=("iceflag", "liqflag", "cloud_mh",
                                    "cloud_lm", "inhm", "scon", "isolvar",
                                    "solcycfrac", "indsolvar", "bndscl",
-                                   "nlit"))
+                                   "nlit", "ncld"))
 def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
              albdir_nir, albdif_nir,
              h2ovmr, o3vmr, co2vmr, ch4vmr, o2vmr,
@@ -45,7 +45,7 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
              adjes=1.0, *, scon=1361.0,
              isolvar=-1, solcycfrac=None, indsolvar=None, bndscl=None,
              iceflag=3, liqflag=1, cloud_mh=1, cloud_lm=2, inhm=1,
-             nlit=None):
+             nlit=None, ncld=None):
     """RRTMG SW fluxes with McICA clouds.
 
     Args (TOA-first):
@@ -68,6 +68,14 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
         nlit >= the actual lit count (bucketed counts keep the set of
         compiled shapes small); lit columns beyond nlit would be
         silently zeroed.
+      ncld: STATIC upper bound on the number of CLOUDY columns, or None.
+        The sort puts cloudy columns first, so the McICA-cloudy
+        two-stream pass in spcvmc runs only on the first ncld columns
+        and the all-sky outputs of the clear remainder alias the
+        clear-sky solve (exactly what the cloudy pass computes for
+        them) - the solver half of the reference's clear/cloudy
+        partitioning (rrtmg_sw_rad.F90:1130-1204). Same caller
+        contract as nlit: must be >= the true cloudy count.
 
     Returns dict of [ncol, nlay+1] fluxes (W/m^2): bbfu/bbfd (all-sky
     up/down), bbcu/bbcd (clear), direct components, UV/NIR band profiles,
@@ -81,7 +89,10 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
     ncol_full = cldf.shape[0]
     if nlit is not None and nlit >= ncol_full:
         nlit = None
-    sort_clear = jax.default_backend() == "tpu" or nlit is not None
+    sort_clear = (jax.default_backend() == "tpu" or nlit is not None
+                  or ncld is not None)
+    if not sort_clear:
+        ncld = None              # cloudy-first order not established
     if sort_clear:
         clearcol = jnp.logical_not((cldf > 0.0).any(axis=1))
         if nlit is None:
@@ -161,17 +172,23 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
                        albdif_nir[:, None])
 
     # scon / isolvar scaling is already folded into sfluxzen via svw.
-    # The jnp solver is the production path on every backend: XLA's
-    # fusion of the elementwise PIFM optics + its pipelined scans runs
-    # 6.8 ms @2048x72 on v5e vs 64 ms for the hand-written streaming
-    # Pallas solver (spcvmc_pallas.spcvmc_fast, kept as an oracle-
-    # checked alternative) - measured round 3; see PROGRESS notes.
+    # On TPU the fused Pallas solver (slab-vectorized reftra + in-VMEM
+    # adding sweeps, spcvmc_pallas.py) runs 8.0 ms @2048x72 vs 13.6 ms
+    # for the jnp oracle (r5 measurement; the r3 per-layer version of
+    # the kernel lost 10x - see its module banner). The jnp solver is
+    # the oracle/CPU path and carries the ncld clear-column split.
     adjflux = adjes
     with scope("sw.spcvmc"):
-        out = spcvmc_sw(coefs, taug, taur, sfluxzen, coszen, albdir,
-                        albdif, cldymc, taucmc, ssacmc, asmcmc,
-                        taua=taua, ssaa=ssaa, asya=asya,
-                        adjflux=adjflux)
+        if jax.default_backend() == "tpu":
+            out = spcvmc_fast(coefs, taug, taur, sfluxzen, coszen,
+                              albdir, albdif, cldymc, taucmc, ssacmc,
+                              asmcmc, taua=taua, ssaa=ssaa, asya=asya,
+                              adjflux=adjflux)
+        else:
+            out = spcvmc_sw(coefs, taug, taur, sfluxzen, coszen, albdir,
+                            albdif, cldymc, taucmc, ssacmc, asmcmc,
+                            taua=taua, ssaa=ssaa, asya=asya,
+                            adjflux=adjflux, ncld=ncld)
     out["clear_counts"] = counts
     # zero out fluxes for night columns
     day = (coszen > 0.0).astype(taug.dtype)

@@ -167,6 +167,11 @@ def test_daylight_packing_nlit_identical():
 
     full = run()
     packed = run(nlit=7)        # true lit count is 6; bound has slack
+    # clear/cloudy solver split on top of packing: 5 cloudy-lit columns
+    # (3 is clear, 2/5 are night), bound with slack; and the split
+    # alone (no packing: all 7 cloudy columns incl. night sort first)
+    packed_cld = run(nlit=7, ncld=6)
+    split_only = run(ncld=7)
     for k in full:
         if k == "clear_counts":
             # night columns read fully clear under packing (SW cloud
@@ -174,8 +179,21 @@ def test_daylight_packing_nlit_identical():
             np.testing.assert_array_equal(
                 np.asarray(packed[k])[[0, 1, 3, 4, 6, 7]],
                 np.asarray(full[k])[[0, 1, 3, 4, 6, 7]])
+            np.testing.assert_array_equal(
+                np.asarray(packed_cld[k])[[0, 1, 3, 4, 6, 7]],
+                np.asarray(full[k])[[0, 1, 3, 4, 6, 7]])
+            np.testing.assert_array_equal(np.asarray(split_only[k]),
+                                          np.asarray(full[k]))
             continue
         np.testing.assert_allclose(np.asarray(packed[k]),
                                    np.asarray(full[k]), rtol=1e-6,
                                    atol=1e-6, err_msg=k)
         assert not np.asarray(packed[k])[[2, 5]].any(), k
+        # the cloudy pass on a clear column IS the clear pass, so the
+        # ncld split must be exact (same math, same shapes per column)
+        np.testing.assert_allclose(np.asarray(packed_cld[k]),
+                                   np.asarray(full[k]), rtol=1e-6,
+                                   atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(np.asarray(split_only[k]),
+                                   np.asarray(full[k]), rtol=1e-6,
+                                   atol=1e-6, err_msg=k)

@@ -26,10 +26,13 @@ def bench_loop(fn, *args, k=10, n=3):
     iteration perturbs it by the running scalar so iterations are
     sequentially dependent and cannot be CSE'd.
     """
-    def run(eps):
+    # args pass through jit as REAL arguments: captured device arrays
+    # become HLO constants, and the axon tunnel serializes those into
+    # the compile request body (HTTP 413 above a few hundred MB)
+    def run(eps, *a_in):
         def body(_, carry):
             eps = carry
-            a = list(args)
+            a = list(a_in)
             a[0] = jax.tree_util.tree_map(
                 lambda x: x + eps.astype(x.dtype)
                 if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
@@ -37,7 +40,10 @@ def bench_loop(fn, *args, k=10, n=3):
             return _scalarize(fn(*a))
         return lax.fori_loop(0, k, body, eps)
 
-    g = jax.jit(run)
+    g = jax.jit(lambda eps: run(eps, *args)) if not args else jax.jit(run)
+    if args:
+        g0 = g
+        g = lambda eps: g0(eps, *args)
     eps = g(jnp.float32(0.0))
     float(eps)                      # warm + compile
     times = []
