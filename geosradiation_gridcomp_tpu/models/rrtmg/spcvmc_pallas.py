@@ -172,22 +172,31 @@ def _slab_optics(taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
     serial."""
     tg = taug_ref[:]
     tr = taur_ref[:]
-    ta = _expand14(ta_ref[:], gband, band_g0)
-    sa = _expand14(sa_ref[:], gband, band_g0)
-    ga = _expand14(ga_ref[:], gband, band_g0)
+    if ta_ref is None:
+        # no aerosols (static): g-clear = 0, so the delta scaling is an
+        # exact no-op - skip the 3x14-select band expansion and the
+        # whole scaling block
+        tau_c = tr + tg
+        w_c = tr / jnp.maximum(tau_c, 1e-30)
+        g_c = jnp.zeros_like(tau_c)
+        womz_c = tg / jnp.maximum(tau_c, 1e-30)
+    else:
+        ta = _expand14(ta_ref[:], gband, band_g0)
+        sa = _expand14(sa_ref[:], gband, band_g0)
+        ga = _expand14(ga_ref[:], gband, band_g0)
 
-    ztauo = tr + tg + ta
-    zomco_n = tr + ta * sa
-    zgco = (ga * sa * ta) / jnp.maximum(zomco_n, 1e-30)
-    zomco = zomco_n / jnp.maximum(ztauo, 1e-30)
-    zf = zgco * zgco
-    zwf = zomco * zf
-    tau_c = (1.0 - zwf) * ztauo
-    w_c = (zomco - zwf) / jnp.maximum(1.0 - zwf, 1e-12)
-    g_c = (zgco - zf) / jnp.maximum(1.0 - zf, 1e-12)
+        ztauo = tr + tg + ta
+        zomco_n = tr + ta * sa
+        zgco = (ga * sa * ta) / jnp.maximum(zomco_n, 1e-30)
+        zomco = zomco_n / jnp.maximum(ztauo, 1e-30)
+        zf = zgco * zgco
+        zwf = zomco * zf
+        tau_c = (1.0 - zwf) * ztauo
+        w_c = (zomco - zwf) / jnp.maximum(1.0 - zwf, 1e-12)
+        g_c = (zgco - zf) / jnp.maximum(1.0 - zf, 1e-12)
 
-    womz_c = (tg + ta * (1.0 - sa)) / jnp.maximum(ztauo, 1e-30) \
-        / jnp.maximum(1.0 - zwf, 1e-12)
+        womz_c = (tg + ta * (1.0 - sa)) / jnp.maximum(ztauo, 1e-30) \
+            / jnp.maximum(1.0 - zwf, 1e-12)
 
     tcm = tcm_ref[:]
     scm = scm_ref[:]
@@ -217,12 +226,17 @@ def _up_step(rup, rupd, ref, tra, refd, trad, dbt):
     return rup_n, rupd_n
 
 
-def _make_up_kernel(band_g0, lps=_LPS):
-    def kernel(taug_ref, taur_ref, ta_ref, sa_ref, ga_ref,
-               tcm_ref, scm_ref, acm_ref, adir_ref, adif_ref, mu0_ref,
-               pru_a_ref, prd_a_ref, pru_c_ref, prd_c_ref,
-               rt_c_ref, rt_a_ref,
-               rup_a, rupd_a, rup_c, rupd_c):
+def _make_up_kernel(band_g0, lps=_LPS, aero=True):
+    def kernel(taug_ref, taur_ref, *rest):
+        if aero:
+            ta_ref, sa_ref, ga_ref = rest[:3]
+            rest = rest[3:]
+        else:
+            ta_ref = sa_ref = ga_ref = None
+        (tcm_ref, scm_ref, acm_ref, adir_ref, adif_ref, mu0_ref,
+         pru_a_ref, prd_a_ref, pru_c_ref, prd_c_ref,
+         rt_c_ref, rt_a_ref,
+         rup_a, rupd_a, rup_c, rupd_c) = rest
         l = pl.program_id(1)
         mu0 = mu0_ref[:][:, :, None]                   # [C, 1, 1]
         gband = jax.lax.broadcasted_iota(
@@ -444,11 +458,7 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
         interpret = jax.default_backend() != "tpu"
     mu0c = jnp.maximum(mu0, 1e-4)
 
-    if taua is None:
-        taua = jnp.zeros((ncol, nlay, 14), dtype)
-        ssaa = jnp.zeros((ncol, nlay, 14), dtype)
-        asya = jnp.zeros((ncol, nlay, 14), dtype)
-
+    aero = taua is not None
     C = min(block_cols, max(8, ncol))
     npad = (-ncol) % C
     lpad = (-nlay) % lps
@@ -461,8 +471,8 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
         return jnp.pad(x, [(0, npad), (0, lpad)] + [(0, 0)]
                        * (x.ndim - 2))
 
-    taug_p, taur_p, taua_p, ssaa_p, asya_p = map(
-        padl, (taug, taur, taua, ssaa, asya))
+    taug_p, taur_p = padl(taug), padl(taur)
+    aero_in = [padl(x) for x in (taua, ssaa, asya)] if aero else []
     tcm_p, scm_p, acm_p = map(padl, (taucmc, ssacmc, asmcmc))
     ngb = _NGB14
     adir_g = jnp.pad(albdir[..., ngb - 1], [(0, npad), (0, 0)])
@@ -497,17 +507,18 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     rt_shape = jax.ShapeDtypeStruct((5, nc, nlayp, ngpt), f32)
 
     pru_a, prd_a, pru_c, prd_c, rt_c, rt_a = pl.pallas_call(
-        _make_up_kernel(band_g0, lps),
+        _make_up_kernel(band_g0, lps, aero),
         grid=(nb, nsteps),
-        in_specs=[rev_lay, rev_lay, rev_lay14, rev_lay14, rev_lay14,
-                  rev_lay, rev_lay, rev_lay, col_g, col_g, col1],
+        in_specs=[rev_lay, rev_lay]
+        + ([rev_lay14] * 3 if aero else [])
+        + [rev_lay, rev_lay, rev_lay, col_g, col_g, col1],
         out_specs=[rev_pr, rev_pr, rev_pr, rev_pr, rev_rt, rev_rt],
         out_shape=[pr_shape] * 4 + [rt_shape] * 2,
         scratch_shapes=[pltpu.VMEM((C, ngpt), f32) for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(taug_p, taur_p, taua_p, ssaa_p, asya_p, tcm_p, scm_p, acm_p,
+    )(taug_p, taur_p, *aero_in, tcm_p, scm_p, acm_p,
       adir_g, adif_g, mu0_p)
 
     fwd_pr = pl.BlockSpec((lps, C, ngpt), lambda b, l: (l, b, 0))

@@ -46,7 +46,7 @@ from .tables_lw import (lw_gather_tables, lw_gather_tables_padded,
 from .taumol_lw import (_CHI, _ONEMINUS, _col, _lw_static,
                         _PAIRS_LOWER, _PLANCK_LO, _PLANCK_UP)
 
-_CBLK = 256                     # cells per kernel block (lane axis)
+_CBLK = 512                     # cells per kernel block (lane axis)
 
 # pair-major band order: bands sharing a lower eta-pair are contiguous,
 # so the per-eta weight expansion needs only 5 scalars per cell (pairs),

@@ -32,7 +32,7 @@ from .tables_sw import (sw_gather_tables, NG_SW, NGPTSW, NGS_SW,
                         SW_UPPER1, SW_LOWER1)
 from .taumol_sw import _eta
 
-_CBLK = 256
+_CBLK = 512
 _WSW = 10 * SW_SPP              # 1280: 9 eta sections + ss
 
 

@@ -167,6 +167,18 @@ def test_spcvmc_pallas_interpret():
         err = np.abs(np.asarray(a[k]) - np.asarray(b[k])).max()
         assert err < 5e-4 * scale, (k, err, scale)
 
+    # the static no-aerosol kernel variant (skips the band expansion +
+    # delta scaling entirely) must match the oracle's taua=None path
+    a0 = spcvmc_sw(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
+                   cldymc, taucmc, ssacmc, asmcmc)
+    b0 = spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
+                     cldymc, taucmc, ssacmc, asmcmc,
+                     block_cols=8, interpret=True)
+    for k in a0:
+        scale = np.abs(np.asarray(a0[k])).max() + 1e-6
+        err = np.abs(np.asarray(a0[k]) - np.asarray(b0[k])).max()
+        assert err < 5e-4 * scale, (k, err, scale)
+
 
 def test_rtrnmc_pallas_interpret(lw_coefs):
     from geosradiation_gridcomp_tpu.models.rrtmg.cldprmc_lw import cldprmc_lw
