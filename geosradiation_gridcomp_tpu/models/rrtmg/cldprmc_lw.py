@@ -12,6 +12,7 @@ never an elementwise [ncol, ngpt, nlay] dynamic gather (which is ~50x
 slower on TPU).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,10 +25,30 @@ _NGB = np.repeat(np.arange(16), NG_LW)    # g-point -> band (0-based)
 
 
 def _interp_rows(tab, index, fint):
-    """tab (n, 16); index/fint [ncol, nlay] -> [ncol, nlay, 16]."""
-    lo = tab[index - 1]
-    hi = tab[index]
-    return lo + fint[..., None] * (hi - lo)
+    """tab (n, nb); index/fint [ncol, nlay] -> [ncol, nlay, nb].
+
+    On TPU the two-row linear interpolation runs as ONE fac-folded
+    one-hot matmul ((1-f) at index-1, f at index) on the MXU: XLA
+    lowers the naive tab[index] row gathers at ~tens of GB/s effective
+    (measured 6.1 ms for the two tables at 8192x72 - a top-five cost of
+    the whole LW pipeline), while the [N, n] x [n, nb] dot is <0.5 ms.
+    Elsewhere the gather form wins. (1-f)*lo + f*hi differs from
+    lo + f*(hi-lo) only in f32 rounding order, ~1e-7 relative.
+    """
+    if jax.default_backend() != "tpu":
+        lo = tab[index - 1]
+        hi = tab[index]
+        return lo + fint[..., None] * (hi - lo)
+    n = tab.shape[0]
+    sh = index.shape
+    idx = index.reshape(-1, 1)
+    f = fint.reshape(-1, 1)
+    rows = jnp.arange(n)[None, :]
+    w = jnp.where(rows == idx - 1, 1.0 - f, 0.0) \
+        + jnp.where(rows == idx, f, 0.0)
+    out = jnp.dot(w, tab, precision="highest",
+                  preferred_element_type=jnp.float32)
+    return out.reshape(sh + (tab.shape[1],))
 
 
 def band_abs_coeffs_lw(reice, reliq, iceflag=3, liqflag=1):

@@ -11,6 +11,7 @@ band->g-point with a static index map; water paths are the only per-g
 quantities.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,10 +24,25 @@ _CLDMIN = 1.0e-20
 
 
 def _interp_rows(tab, index, fint):
-    """tab (n, 14); index/fint [..., nlay] -> [..., nlay, 14]."""
-    lo = tab[index - 1]
-    hi = tab[index]
-    return lo + fint[..., None] * (hi - lo)
+    """tab (n, 14); index/fint [..., nlay] -> [..., nlay, 14].
+
+    On TPU: fac-folded one-hot MXU matmul instead of two row gathers
+    (see cldprmc_lw._interp_rows - the gathers measured 6.1 ms for two
+    tables at 8192x72; SW interpolates up to seven)."""
+    if jax.default_backend() != "tpu":
+        lo = tab[index - 1]
+        hi = tab[index]
+        return lo + fint[..., None] * (hi - lo)
+    n = tab.shape[0]
+    sh = index.shape
+    idx = index.reshape(-1, 1)
+    f = fint.reshape(-1, 1)
+    rows = jnp.arange(n)[None, :]
+    w = jnp.where(rows == idx - 1, 1.0 - f, 0.0) \
+        + jnp.where(rows == idx, f, 0.0)
+    out = jnp.dot(w, tab, precision="highest",
+                  preferred_element_type=jnp.float32)
+    return out.reshape(sh + (tab.shape[1],))
 
 
 def _to_g(band_arr):

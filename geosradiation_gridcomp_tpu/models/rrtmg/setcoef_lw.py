@@ -8,6 +8,7 @@ mask `lower` instead of the reference's laytrop counter).
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ...constants import GRAV, AVOGAD, AMD, AMW
@@ -58,12 +59,26 @@ class LWCoefs(NamedTuple):
 
 
 def _planck_interp(table, t):
-    """Linear interpolation of totplnk-style (181, nbnd) table at T [K]."""
+    """Linear interpolation of totplnk-style (181, nbnd) table at T [K].
+
+    On TPU: fac-folded one-hot MXU matmul instead of two row gathers
+    (same rationale as cldprmc_lw._interp_rows; the three Planck
+    interpolations were the bulk of setcoef's 7.1 ms at 8192x72)."""
     tt = jnp.asarray(table)
     ind = jnp.clip(jnp.floor(t - 159.0).astype(jnp.int32), 1, 180)
     frac = t - 159.0 - ind.astype(t.dtype)
-    lo = tt[ind - 1]
-    return lo + frac[..., None] * (tt[ind] - lo)
+    if jax.default_backend() != "tpu":
+        lo = tt[ind - 1]
+        return lo + frac[..., None] * (tt[ind] - lo)
+    sh = t.shape
+    idx = ind.reshape(-1, 1)
+    f = frac.reshape(-1, 1)
+    rows = jnp.arange(tt.shape[0])[None, :]
+    w = jnp.where(rows == idx - 1, 1.0 - f, 0.0) \
+        + jnp.where(rows == idx, f, 0.0)
+    out = jnp.dot(w, tt, precision="highest",
+                  preferred_element_type=jnp.float32)
+    return out.reshape(sh + (tt.shape[1],))
 
 
 def setcoef_lw(pavel, tavel, pz, tz, tbound, semiss,
