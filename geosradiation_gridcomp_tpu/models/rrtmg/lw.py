@@ -108,13 +108,17 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
     plev = ple * 0.01
 
     scope = jax.named_scope
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         # fused Pallas McICA + cloud-optics kernel: subcolumn draws,
         # overlap chains, zcw scaling, band->g optical depths, and the
         # clear-count reduction never leave VMEM (ops/mcica_pallas.py);
         # parity vs the jnp oracle is population-statistical by the
         # reference's own contract (cloud_subcol_gen.F90:24-31) and is
-        # gated on-chip by tools/verify_tpu.py
+        # gated on-chip by tools/verify_tpu.py. layer_major: the whole
+        # TPU LW pipeline (McICA -> taumol -> rtrnmc) runs in the
+        # [nlay, ncol, g] layout the kernels emit natively, so no
+        # [*, *, g]-scale array is ever relayout-copied by XLA.
         with scope("lw.mcica_fused"):
             alpha, rcorr = overlap_params(zm, alat, doy)
             sigcls = _sigma_class(cldf)
@@ -126,7 +130,8 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
                 seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, absi,
                 absl, nsub=NGPTLW, inhm=inhm, cwp_tiny=1.0e-20,
                 cloud_mh=cloud_mh, cloud_lm=cloud_lm,
-                band_ng=tuple(int(g) for g in NG_LW))
+                band_ng=tuple(int(g) for g in NG_LW),
+                layer_major=True)
     else:
         cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
             zm, alat, doy, play, cldf, ciwp, clwp, 1.0e-20,
@@ -147,19 +152,25 @@ def rrtmg_lw(ple, play, tlay, tlev, tsfc, emis,
     # fused transposed-space Pallas kernel on TPU (~3.4x the gather
     # engine); the jnp gather engine (the oracle) elsewhere
     with scope("lw.taumol"):
-        if jax.default_backend() == "tpu":
+        if on_tpu:
             from .taumol_lw_pallas import taumol_lw_fast
-            taug, pfracs = taumol_lw_fast(coefs, taua)
+            taug, pfracs = taumol_lw_fast(coefs, taua, layer_major=True)
         else:
             taug, pfracs = taumol_lw(coefs, taua)
 
     # Pallas fused sweeps on TPU; the jnp scan (the oracle) elsewhere -
     # interpret-mode Pallas is far too slow for the CPU CI mesh
-    rt = rtrnmc_fast if jax.default_backend() == "tpu" else rtrnmc
     with scope("lw.rtrnmc"):
-        out = rt(emis, taug, pfracs, cloudy, taucmc,
-                 coefs.planklay, coefs.planklev, coefs.plankbnd,
-                 coefs.dplankbnd_dts, coefs.pwvcm, dudts=dudts)
+        if on_tpu:
+            out = rtrnmc_fast(emis, taug, pfracs, cloudy, taucmc,
+                              coefs.planklay, coefs.planklev,
+                              coefs.plankbnd, coefs.dplankbnd_dts,
+                              coefs.pwvcm, dudts=dudts,
+                              layer_major=True)
+        else:
+            out = rtrnmc(emis, taug, pfracs, cloudy, taucmc,
+                         coefs.planklay, coefs.planklev, coefs.plankbnd,
+                         coefs.dplankbnd_dts, coefs.pwvcm, dudts=dudts)
     out["clear_counts"] = counts
     if sort_clear:
         out = {k: v[inv] for k, v in out.items()}

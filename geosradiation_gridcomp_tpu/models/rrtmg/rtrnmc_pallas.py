@@ -72,7 +72,17 @@ def _layer_terms(secd, tg, pfr, tcm, blay_g, dpl_g):
     return a_eff, bb_eff, agas, bbgas
 
 
-def _make_down_kernel():
+def _make_down_kernel(layer_major=False):
+    # layer_major: the g-point slabs arrive [lps, C, G] (blocks of the
+    # [nlay, ncol, G] arrays the taumol/McICA kernels emit natively)
+    # instead of [C, lps, G]; only the slab indexing changes.
+    if layer_major:
+        sl = lambda a, i: a[i]
+        sb = lambda v: v[None, :, :]
+    else:
+        sl = lambda a, i: a[:, i, :]
+        sb = lambda v: v[:, None, :]
+
     def kernel(dw_ref, e16_ref, secd_ref, taug_ref, pfr_ref, tcm_ref,
                cldy_ref, play_ref, plevn_ref,
                dflx_ref, dflxc_ref, rsfc_ref, rcsfc_ref, div_ref,
@@ -99,14 +109,14 @@ def _make_down_kernel():
                          preferred_element_type=jnp.float32,
                          precision="highest")
         a_eff_s, bbd_eff_s, agas_s, bbdgas_s = _layer_terms(
-            secd_ref[:][:, None, :], taug_ref[:], pfr_ref[:],
+            sb(secd_ref[:]), taug_ref[:], pfr_ref[:],
             tcm_ref[:], blay_gs, dpl_gs)
 
         for i in range(_LPS):
-            a_eff = a_eff_s[:, i, :]
-            bbd_eff = bbd_eff_s[:, i, :]
-            agas = agas_s[:, i, :]
-            bbdgas = bbdgas_s[:, i, :]
+            a_eff = sl(a_eff_s, i)
+            bbd_eff = sl(bbd_eff_s, i)
+            agas = sl(agas_s, i)
+            bbdgas = sl(bbdgas_s, i)
 
             div_new = jnp.maximum(div[:], cldy_ref[i, :][:, None])
             radld_new = radld[:] + (bbd_eff - radld[:]) * a_eff
@@ -125,7 +135,14 @@ def _make_down_kernel():
     return kernel
 
 
-def _make_up_kernel(i_sfc, dudts):
+def _make_up_kernel(i_sfc, dudts, layer_major=False):
+    if layer_major:
+        sl = lambda a, i: a[i]
+        sb = lambda v: v[None, :, :]
+    else:
+        sl = lambda a, i: a[:, i, :]
+        sb = lambda v: v[:, None, :]
+
     def kernel(dw_ref, e16_ref, secd_ref, taug_ref, pfr_ref, tcm_ref,
                play_ref, plevt_ref, semiss_ref, pbnd_ref, dpbnd_ref,
                rsfc_ref, rcsfc_ref, divany_ref,
@@ -143,7 +160,7 @@ def _make_up_kernel(i_sfc, dudts):
             # surface emission + reflection of the downward stream
             # (rrtmg_lw_rtrnmc.F90:344-352); i_sfc is the real bottom layer
             # inside this (possibly padded) chunk
-            pf_sfc = pfr_ref[:, i_sfc, :]
+            pf_sfc = sl(pfr_ref, i_sfc)
             rad0 = pf_sfc * jnp.dot(pbnd_ref[:], e16.T,
                                     preferred_element_type=jnp.float32,
                              precision="highest")
@@ -173,13 +190,13 @@ def _make_up_kernel(i_sfc, dudts):
                          preferred_element_type=jnp.float32,
                          precision="highest")
         a_eff_s, bbu_eff_s, agas_s, bbugas_s = _layer_terms(
-            secd_ref[:][:, None, :], taug_ref[:], pfr_ref[:],
+            sb(secd_ref[:]), taug_ref[:], pfr_ref[:],
             tcm_ref[:], blay_gs, dpl_gs)
         for i in reversed(range(_LPS)):
-            a_eff = a_eff_s[:, i, :]
-            bbu_eff = bbu_eff_s[:, i, :]
-            agas = agas_s[:, i, :]
-            bbugas = bbugas_s[:, i, :]
+            a_eff = sl(a_eff_s, i)
+            bbu_eff = sl(bbu_eff_s, i)
+            agas = sl(agas_s, i)
+            bbugas = sl(bbugas_s, i)
 
             radlu_new = radlu[:] + (bbu_eff - radlu[:]) * a_eff
             radclru_new = jnp.where(
@@ -221,13 +238,23 @@ def _secdiff_g(pwvcm, dtype):
 
 def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
                 plankbnd, dplankbnd_dts, pwvcm, dudts=True,
-                block_cols=128, interpret=None):
+                block_cols=128, interpret=None, layer_major=False):
     """Drop-in replacement for rtrnmc.rtrnmc using Pallas kernels.
 
     Same shapes/contract as rtrnmc.rtrnmc (TOA-first). Columns are padded
     to a multiple of block_cols and layers to a multiple of 8 internally.
+
+    layer_major=True flips the g-point input contract to the layout the
+    production taumol/McICA kernels emit natively — taug/pfracs/taucmc
+    [nlay, ncol, ngpt], cloudy [nlay, ncol] — so the whole LW pipeline
+    runs without a single XLA relayout copy of a [*, *, ngpt] array.
+    Per-column inputs (semiss, plank*, pwvcm) keep their [ncol, ...]
+    shapes in both modes; the small planck arrays are transposed here.
     """
-    ncol, nlay, ngpt = taug.shape
+    if layer_major:
+        nlay, ncol, ngpt = taug.shape
+    else:
+        ncol, nlay, ngpt = taug.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -236,14 +263,29 @@ def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
     lpad = (-nlay) % _LPS
     nlayp = nlay + lpad
 
-    def padcl(x):
-        return jnp.pad(x, [(0, npad), (0, lpad)] + [(0, 0)] * (x.ndim - 2))
+    if layer_major:
+        def padcl(x):                              # [nlay, ncol, ...]
+            return jnp.pad(
+                x, [(0, lpad), (0, npad)] + [(0, 0)] * (x.ndim - 2))
+    else:
+        def padcl(x):
+            return jnp.pad(
+                x, [(0, npad), (0, lpad)] + [(0, 0)] * (x.ndim - 2))
 
     semiss = jnp.pad(semiss, [(0, npad), (0, 0)])
     taug, pfracs, taucmc = map(padcl, (taug, pfracs, taucmc))
     cldy_f = padcl(cloudy.astype(jnp.float32))
-    planklay = padcl(planklay)
-    planklev = jnp.pad(planklev, [(0, npad), (0, lpad), (0, 0)])
+    if layer_major:
+        # planck inputs stay column-major at the interface ([ncol, *]
+        # is what setcoef produces); [nlay, ncol, 16] copies are 16/140
+        # the size of the g-arrays whose relayout this mode eliminates
+        planklay = jnp.swapaxes(planklay, 0, 1)
+        planklev = jnp.swapaxes(planklev, 0, 1)
+        planklay = jnp.pad(planklay, [(0, lpad), (0, npad), (0, 0)])
+        planklev = jnp.pad(planklev, [(0, lpad), (0, npad), (0, 0)])
+    else:
+        planklay = padcl(planklay)
+        planklev = jnp.pad(planklev, [(0, npad), (0, lpad), (0, 0)])
     plankbnd = jnp.pad(plankbnd, [(0, npad), (0, 0)])
     dplankbnd_dts = jnp.pad(dplankbnd_dts, [(0, npad), (0, 0)])
     pwvcm = jnp.pad(pwvcm, (0, npad), constant_values=1.0)
@@ -252,16 +294,25 @@ def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
     nsteps = nlayp // _LPS
 
     secd = _secdiff_g(pwvcm, jnp.float32)
-    planklev_next = planklev[:, 1:, :]
-    planklev_top = planklev[:, :nlayp, :]
-    cldy_t = cldy_f.T                                # [nlayp, nc]
+    if layer_major:
+        planklev_next = planklev[1:, :, :]
+        planklev_top = planklev[:nlayp, :, :]
+        cldy_t = cldy_f                              # [nlayp, nc]
+    else:
+        planklev_next = planklev[:, 1:, :]
+        planklev_top = planklev[:, :nlayp, :]
+        cldy_t = cldy_f.T                            # [nlayp, nc]
 
     dw_arr = jnp.asarray(_DELWAVE_G)[None, :]
     e16_arr = jnp.asarray(_E16)
     dw_spec = pl.BlockSpec((1, ngpt), lambda b, l: (0, 0))
     e16_spec = pl.BlockSpec((ngpt, 16), lambda b, l: (0, 0))
-    lay_spec = pl.BlockSpec((C, _LPS, ngpt), lambda b, l: (b, l, 0))
-    lay16 = pl.BlockSpec((C, _LPS, 16), lambda b, l: (b, l, 0))
+    if layer_major:
+        lay_spec = pl.BlockSpec((_LPS, C, ngpt), lambda b, l: (l, b, 0))
+        lay16 = pl.BlockSpec((_LPS, C, 16), lambda b, l: (l, b, 0))
+    else:
+        lay_spec = pl.BlockSpec((C, _LPS, ngpt), lambda b, l: (b, l, 0))
+        lay16 = pl.BlockSpec((C, _LPS, 16), lambda b, l: (b, l, 0))
     col_spec = pl.BlockSpec((C, ngpt), lambda b, l: (b, 0))
     col16 = pl.BlockSpec((C, 16), lambda b, l: (b, 0))
     col1 = pl.BlockSpec((C, 1), lambda b, l: (b, 0))
@@ -276,7 +327,7 @@ def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
         jax.ShapeDtypeStruct((nc, 1), f32),       # diverged-any flag
     ]
     dflx_b, dflxc_b, rsfc, rcsfc, divany = pl.pallas_call(
-        _make_down_kernel(),
+        _make_down_kernel(layer_major),
         grid=(nb, nsteps),
         in_specs=[dw_spec, e16_spec, col_spec, lay_spec, lay_spec,
                   lay_spec, trow, lay16, lay16],
@@ -295,9 +346,16 @@ def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
         return pl.BlockSpec(block,
                             lambda b, l: (b, nsteps - 1 - l, 0))
 
-    rev_lay = pl.BlockSpec((C, _LPS, ngpt),
-                           lambda b, l: (b, nsteps - 1 - l, 0))
-    rev16 = pl.BlockSpec((C, _LPS, 16), lambda b, l: (b, nsteps - 1 - l, 0))
+    if layer_major:
+        rev_lay = pl.BlockSpec((_LPS, C, ngpt),
+                               lambda b, l: (nsteps - 1 - l, b, 0))
+        rev16 = pl.BlockSpec((_LPS, C, 16),
+                             lambda b, l: (nsteps - 1 - l, b, 0))
+    else:
+        rev_lay = pl.BlockSpec((C, _LPS, ngpt),
+                               lambda b, l: (b, nsteps - 1 - l, 0))
+        rev16 = pl.BlockSpec((C, _LPS, 16),
+                             lambda b, l: (b, nsteps - 1 - l, 0))
     rev_trow = pl.BlockSpec((_LPS, C), lambda b, l: (nsteps - 1 - l, b))
     i_sfc = _LPS - 1 - lpad                      # real bottom layer in chunk
 
@@ -315,7 +373,7 @@ def rtrnmc_fast(semiss, taug, pfracs, cloudy, taucmc, planklay, planklev,
     ]
     (uflx_b, uflxc_b, du_b, duc_b, usfc, ucsfc, dusfc, ducsfc,
      olrb, dolrb) = pl.pallas_call(
-        _make_up_kernel(i_sfc, dudts),
+        _make_up_kernel(i_sfc, dudts, layer_major),
         grid=(nb, nsteps),
         in_specs=[dw_spec, e16_spec, col_spec, rev_lay, rev_lay, rev_lay,
                   rev16, rev16, col16, col16, col16,

@@ -226,7 +226,11 @@ def _up_step(rup, rupd, ref, tra, refd, trad, dbt):
     return rup_n, rupd_n
 
 
-def _make_up_kernel(band_g0, lps=_LPS, aero=True):
+def _make_up_kernel(band_g0, lps=_LPS, aero=True, layer_major=False):
+    # layer_major: g-point slabs arrive [lps, C, G] (blocks of the
+    # [nlay, ncol, G] arrays taumol/McICA emit natively); the math in
+    # _slab_optics/_reftra is elementwise, so only the slab slicing and
+    # the mu0 broadcast orientation change.
     def kernel(taug_ref, taur_ref, *rest):
         if aero:
             ta_ref, sa_ref, ga_ref = rest[:3]
@@ -238,7 +242,10 @@ def _make_up_kernel(band_g0, lps=_LPS, aero=True):
          rt_c_ref, rt_a_ref,
          rup_a, rupd_a, rup_c, rupd_c) = rest
         l = pl.program_id(1)
-        mu0 = mu0_ref[:][:, :, None]                   # [C, 1, 1]
+        if layer_major:
+            mu0 = mu0_ref[:][None, :, :]               # [1, C, 1]
+        else:
+            mu0 = mu0_ref[:][:, :, None]               # [C, 1, 1]
         gband = jax.lax.broadcasted_iota(
             jnp.int32, taug_ref.shape, 2)
 
@@ -275,7 +282,8 @@ def _make_up_kernel(band_g0, lps=_LPS, aero=True):
         # interleaved loop below. The clear-column split lives in the
         # jnp solver instead (spcvmc.spcvmc_sw ncld).
         for i in reversed(range(lps)):
-            sl = lambda t: t[:, i, :]
+            sl = (lambda t: t[i]) if layer_major else \
+                (lambda t: t[:, i, :])
             rup_c_n, rupd_c_n = _up_step(rup_c[:], rupd_c[:],
                                          *map(sl, rc), sl(co[3]))
             rup_a_n, rupd_a_n = _up_step(rup_a[:], rupd_a[:],
@@ -308,7 +316,7 @@ def _down_adv(ztdn, rdnd, tdbt, ref, tra, refd, trad, dbt):
     return ztdn_n, rdnd_n, tdbt * dbt
 
 
-def _make_down_kernel(band_g0, lps=_LPS):
+def _make_down_kernel(band_g0, lps=_LPS, layer_major=False):
     def kernel(adir_ref, adif_ref,
                zinc_ref, uvm_ref, nim_ref, s17_ref,
                pru_a_ref, prd_a_ref, pru_c_ref, prd_c_ref,
@@ -342,7 +350,8 @@ def _make_down_kernel(band_g0, lps=_LPS):
         ra = tuple(rt_a_ref[j] for j in range(4))
         dbt_c_slab = rt_c_ref[4]
         dbt_a_slab = rt_a_ref[4]
-        sl2 = lambda t, i: t[:, i, :]
+        sl2 = (lambda t, i: t[i]) if layer_major else \
+            (lambda t, i: t[:, i, :])
 
         for i in range(lps):
             # flux at level k = chunk*LPS + i from the carried
@@ -445,15 +454,26 @@ def _sfc_sel_mat():
 def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
                 cldymc, taucmc, ssacmc, asmcmc,
                 taua=None, ssaa=None, asya=None, adjflux=1.0,
-                block_cols=128, lps=_LPS, interpret=None):
+                block_cols=128, lps=_LPS, interpret=None,
+                layer_major=False):
     """Drop-in replacement for spcvmc.spcvmc_sw using Pallas kernels.
 
     Same contract as spcvmc_sw (TOA-first; albdir/albdif [ncol, 14]).
     cldymc is implied by taucmc > 0 (cldprmc floors cloudy cells).
+
+    layer_major=True flips the five g-point inputs (taug, taur, and the
+    McICA cloud optics) to [nlay, ncol, ngpt] — the layout the
+    production kernels emit natively — eliminating every XLA relayout
+    copy between taumol/McICA and this solver. Aerosol optics keep
+    their [ncol, nlay, 14] shapes (14/112 of the g-array size; swapped
+    here).
     """
     del coefs, cldymc
     dtype = taug.dtype
-    ncol, nlay, ngpt = taug.shape
+    if layer_major:
+        nlay, ncol, ngpt = taug.shape
+    else:
+        ncol, nlay, ngpt = taug.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     mu0c = jnp.maximum(mu0, 1e-4)
@@ -467,9 +487,17 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     nb = nc // C
     nsteps = nlayp // lps
 
-    def padl(x):
-        return jnp.pad(x, [(0, npad), (0, lpad)] + [(0, 0)]
-                       * (x.ndim - 2))
+    if layer_major:
+        def padl(x):
+            return jnp.pad(x, [(0, lpad), (0, npad)] + [(0, 0)]
+                           * (x.ndim - 2))
+        if aero:
+            taua, ssaa, asya = (jnp.swapaxes(x, 0, 1)
+                                for x in (taua, ssaa, asya))
+    else:
+        def padl(x):
+            return jnp.pad(x, [(0, npad), (0, lpad)] + [(0, 0)]
+                           * (x.ndim - 2))
 
     taug_p, taur_p = padl(taug), padl(taur)
     aero_in = [padl(x) for x in (taua, ssaa, asya)] if aero else []
@@ -487,27 +515,36 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
 
     band_g0 = tuple(int(x) for x in _G0)
     f32 = jnp.float32
-    lay_spec = pl.BlockSpec((C, lps, ngpt), lambda b, l: (b, l, 0))
-    lay14 = pl.BlockSpec((C, lps, 14), lambda b, l: (b, l, 0))
     col_g = pl.BlockSpec((C, ngpt), lambda b, l: (b, 0))
     col1 = pl.BlockSpec((C, 1), lambda b, l: (b, 0))
     row_g = pl.BlockSpec((1, ngpt), lambda b, l: (0, 0))
     # up pass visits chunks bottom-up
-    rev = lambda b, l: (b, nsteps - 1 - l, 0)
-    rev_lay = pl.BlockSpec((C, lps, ngpt), rev)
-    rev_lay14 = pl.BlockSpec((C, lps, 14), rev)
+    if layer_major:
+        rev = lambda b, l: (nsteps - 1 - l, b, 0)
+        rev_lay = pl.BlockSpec((lps, C, ngpt), rev)
+        rev_lay14 = pl.BlockSpec((lps, C, 14), rev)
+    else:
+        rev = lambda b, l: (b, nsteps - 1 - l, 0)
+        rev_lay = pl.BlockSpec((C, lps, ngpt), rev)
+        rev_lay14 = pl.BlockSpec((C, lps, 14), rev)
     # composite storage is layer-major [nlayp, nc, ngpt]; the R/T+dbt
-    # slabs keep the kernel's (C, lps, G) compute layout, stacked on a
-    # leading field axis (0: ref, 1: tra, 2: refd, 3: trad, 4: dbt)
+    # slabs keep the kernel's compute layout ((C, lps, G), or
+    # (lps, C, G) in layer_major mode), stacked on a leading field
+    # axis (0: ref, 1: tra, 2: refd, 3: trad, 4: dbt)
     rev_pr = pl.BlockSpec((lps, C, ngpt),
                           lambda b, l: (nsteps - 1 - l, b, 0))
     pr_shape = jax.ShapeDtypeStruct((nlayp, nc, ngpt), f32)
-    rev_rt = pl.BlockSpec((5, C, lps, ngpt),
-                          lambda b, l: (0, b, nsteps - 1 - l, 0))
-    rt_shape = jax.ShapeDtypeStruct((5, nc, nlayp, ngpt), f32)
+    if layer_major:
+        rev_rt = pl.BlockSpec((5, lps, C, ngpt),
+                              lambda b, l: (0, nsteps - 1 - l, b, 0))
+        rt_shape = jax.ShapeDtypeStruct((5, nlayp, nc, ngpt), f32)
+    else:
+        rev_rt = pl.BlockSpec((5, C, lps, ngpt),
+                              lambda b, l: (0, b, nsteps - 1 - l, 0))
+        rt_shape = jax.ShapeDtypeStruct((5, nc, nlayp, ngpt), f32)
 
     pru_a, prd_a, pru_c, prd_c, rt_c, rt_a = pl.pallas_call(
-        _make_up_kernel(band_g0, lps, aero),
+        _make_up_kernel(band_g0, lps, aero, layer_major),
         grid=(nb, nsteps),
         in_specs=[rev_lay, rev_lay]
         + ([rev_lay14] * 3 if aero else [])
@@ -522,7 +559,12 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
       adir_g, adif_g, mu0_p)
 
     fwd_pr = pl.BlockSpec((lps, C, ngpt), lambda b, l: (l, b, 0))
-    fwd_rt = pl.BlockSpec((5, C, lps, ngpt), lambda b, l: (0, b, l, 0))
+    if layer_major:
+        fwd_rt = pl.BlockSpec((5, lps, C, ngpt),
+                              lambda b, l: (0, l, b, 0))
+    else:
+        fwd_rt = pl.BlockSpec((5, C, lps, ngpt),
+                              lambda b, l: (0, b, l, 0))
     # per-level aggregated outputs: [nb, nlayp, C] so the block's last
     # dim equals the array's (legal for any C); reassembled below
     trow = pl.BlockSpec((1, lps, C), lambda b, l: (b, l, 0))
@@ -531,7 +573,7 @@ def spcvmc_fast(coefs, taug, taur, sfluxzen, mu0, albdir, albdif,
     sfc_spec = pl.BlockSpec((C, 14), lambda b, l: (b, 0))
 
     outs = pl.pallas_call(
-        _make_down_kernel(band_g0, lps),
+        _make_down_kernel(band_g0, lps, layer_major),
         grid=(nb, nsteps),
         in_specs=[col_g, col_g,
                   col_g, row_g, row_g,

@@ -125,11 +125,14 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
             lambda p: state_seed_ints(p, seed_order=(3, 2, 1, 0)))(play)
         coeffs = delta_band_coeffs_sw(rei, rel, iceflag=iceflag,
                                       liqflag=liqflag)
+        # layer_major: the whole TPU SW pipeline (McICA -> taumol ->
+        # spcvmc) runs in the [nlay, ncol, g] layout the kernels emit
+        # natively — no [*, *, g]-scale XLA relayout copies
         taucmc, ssacmc, asmcmc, counts = mcica_optics_sw_fused(
             seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, *coeffs,
             nsub=NGPTSW, inhm=inhm, cwp_tiny=1.0e-20,
             cloud_mh=cloud_mh, cloud_lm=cloud_lm,
-            band_ng=tuple(int(g) for g in NG_SW))
+            band_ng=tuple(int(g) for g in NG_SW), layer_major=True)
         cldymc = taucmc > 0.0          # cloudy cells floored at CLDMIN
     else:
         cldy, ciwp_s, clwp_s = generate_stochastic_clouds(
@@ -156,7 +159,8 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
     with scope("sw.taumol"):
         if jax.default_backend() == "tpu":
             from .taumol_sw_pallas import taumol_sw_pallas
-            taug, taur, sfluxzen = taumol_sw_pallas(coefs, svw)
+            taug, taur, sfluxzen = taumol_sw_pallas(coefs, svw,
+                                                    layer_major=True)
         else:
             taug, taur, sfluxzen = taumol_sw(coefs, svw)
 
@@ -183,7 +187,7 @@ def rrtmg_sw(ple, play, tlay, coszen, albdir_uv, albdif_uv,
             out = spcvmc_fast(coefs, taug, taur, sfluxzen, coszen,
                               albdir, albdif, cldymc, taucmc, ssacmc,
                               asmcmc, taua=taua, ssaa=ssaa, asya=asya,
-                              adjflux=adjflux)
+                              adjflux=adjflux, layer_major=True)
         else:
             out = spcvmc_sw(coefs, taug, taur, sfluxzen, coszen, albdir,
                             albdif, cldymc, taucmc, ssacmc, asmcmc,

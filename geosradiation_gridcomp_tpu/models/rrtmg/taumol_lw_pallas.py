@@ -211,8 +211,13 @@ _CELL_ORDER = ("weta0", "weta1", "wetau0", "wetau1", "rows", "facs",
                "wpl", "wpl5", "halc")
 
 
-def _make_kernel(split_flags):
-    """split_flags: dict key -> bool (table has a lo half)."""
+def _make_kernel(split_flags, cell_major=False):
+    """split_flags: dict key -> bool (table has a lo half).
+
+    cell_major: write [C, NGPTLW] output tiles (cells on sublanes) via
+    an in-kernel transpose — Mosaic's transpose unit makes this free,
+    and it lets the layer-major [nlay, ncol, g] production layout come
+    straight out of the kernel with no XLA relayout copies."""
 
     def kernel(*refs):
         cells = dict(zip(_CELL_ORDER, refs[:len(_CELL_ORDER)]))
@@ -334,13 +339,17 @@ def _make_kernel(split_flags):
         segb = tabs["segb_t"][0]
         corr = 1.0 + (cells["halc"][4:5, :] - 1.0) * segb[:, 0:1] \
             + (cells["halc"][5:6, :] - 1.0) * segb[:, 1:2]
-        taug_ref[:] = taug * corr
-        pfr_ref[:] = lowm * plo + upm * phi
+        if cell_major:
+            taug_ref[:] = (taug * corr).T
+            pfr_ref[:] = (lowm * plo + upm * phi).T
+        else:
+            taug_ref[:] = taug * corr
+            pfr_ref[:] = lowm * plo + upm * phi
 
     return kernel
 
 
-def _taumol_pallas(cell_inputs, interpret):
+def _taumol_pallas(cell_inputs, interpret, cell_major=False):
     kt = _kernel_tables()
     n = cell_inputs["rows"].shape[1]
     C = _CBLK
@@ -366,17 +375,26 @@ def _taumol_pallas(cell_inputs, interpret):
             tables.append(jnp.asarray(lo))
             in_specs.append(pl.BlockSpec(
                 lo.shape, lambda b, _s=len(lo.shape): (0,) * _s))
+    if cell_major:
+        out_specs = [pl.BlockSpec((C, NGPTLW), lambda b: (b, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((n + npad, NGPTLW),
+                                          jnp.float32)] * 2
+    else:
+        out_specs = [pl.BlockSpec((NGPTLW, C), lambda b: (0, b))] * 2
+        out_shape = [jax.ShapeDtypeStruct((NGPTLW, n + npad),
+                                          jnp.float32)] * 2
     taug, pfr = pl.pallas_call(
-        _make_kernel(split_flags),
+        _make_kernel(split_flags, cell_major),
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((NGPTLW, C), lambda b: (0, b))] * 2,
-        out_shape=[jax.ShapeDtypeStruct((NGPTLW, n + npad),
-                                        jnp.float32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins, *tables)
+    if cell_major:
+        return taug[:n], pfr[:n]
     return taug[:, :n], pfr[:, :n]
 
 
@@ -436,8 +454,16 @@ def _spec_pair(col1, col2, rat, mult):
     return sc, sp, js, fs
 
 
-def taumol_lw_fast(coefs, taua=None, interpret=None):
-    """Drop-in replacement for taumol_lw; [ncol, nlay] or flat cells."""
+def taumol_lw_fast(coefs, taua=None, interpret=None, layer_major=False,
+                   cell_major=False):
+    """Drop-in replacement for taumol_lw; [ncol, nlay] or flat cells.
+
+    layer_major=True ([ncol, nlay] inputs only) returns taug/pfracs as
+    [nlay, ncol, ngpt] — the layout the kernel produces natively (cells
+    layer-major on sublanes, g on lanes), consumed zero-copy by
+    rtrnmc_fast. Default False restores the [ncol, nlay, ngpt] contract
+    with one XLA transpose.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if coefs.jp.ndim == 2:
@@ -453,14 +479,18 @@ def taumol_lw_fast(coefs, taua=None, interpret=None):
             return x
 
         tg, pf = taumol_lw_fast(jax.tree_util.tree_map(fl, coefs),
-                                None, interpret=interpret)
-        # outputs arrive spectral-major [140, N]; restore [ncol, nlay, g]
-        unfl = lambda x: jnp.transpose(
-            x.reshape(NGPTLW, nlay, ncol), (2, 1, 0))
-        tg, pf = unfl(tg), unfl(pf)
+                                None, interpret=interpret,
+                                cell_major=True)
+        # outputs arrive cell-major [N, g]; cells are layer-major, so
+        # this reshape to [nlay, ncol, g] is a free bitcast
+        tg = tg.reshape(nlay, ncol, NGPTLW)
+        pf = pf.reshape(nlay, ncol, NGPTLW)
         if taua is not None:
             ngb = np.repeat(np.arange(16), NG_LW)
-            tg = tg + taua[..., ngb]
+            tg = tg + jnp.swapaxes(taua, 0, 1)[..., ngb]
+        if not layer_major:
+            tg = jnp.swapaxes(tg, 0, 1)
+            pf = jnp.swapaxes(pf, 0, 1)
         return tg, pf
 
     st = _lw_static()
@@ -647,12 +677,16 @@ def taumol_lw_fast(coefs, taua=None, interpret=None):
         rows=rows, facs=facs, colv=colv,
         lowm=lo_f[None, :], t19=t19, wsf=wsf, fac13=fac13, emw=emw,
         w3u=w3u, wpl=wpl, wpl5=wpl5, halc=halc)
-    taug, pfracs = _taumol_pallas(cell_inputs, interpret)
+    taug, pfracs = _taumol_pallas(cell_inputs, interpret,
+                                  cell_major=cell_major)
 
     if taua is not None:
         ngb = np.repeat(np.arange(16), NG_LW)
+        if cell_major:
+            return taug + taua[..., ngb], pfracs
         taug = jnp.transpose(taug) + taua[..., ngb]
         pfracs = jnp.transpose(pfracs)
         return taug, pfracs
     # flat-cell contract: spectral-major [140, N] outputs
+    # (cell-major [N, 140] when cell_major=True)
     return taug, pfracs

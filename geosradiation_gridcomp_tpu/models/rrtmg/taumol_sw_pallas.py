@@ -95,7 +95,10 @@ _CELL_ORDER = ("weta", "rows", "facs", "colv5", "lowm", "wsf", "gcols",
                "w24", "colmol")
 
 
-def _make_kernel(split_flags):
+def _make_kernel(split_flags, cell_major=False):
+    # cell_major: write [C, NGPTSW] tiles via Mosaic's (free) in-kernel
+    # transpose so the layer-major production layout needs no XLA
+    # relayout copies (see taumol_lw_pallas._make_kernel)
     def kernel(*refs):
         cells = dict(zip(_CELL_ORDER, refs[:len(_CELL_ORDER)]))
         it = iter(refs[len(_CELL_ORDER):-2])
@@ -170,17 +173,22 @@ def _make_kernel(split_flags):
 
         # gray absorbers (regime folded into gcols rows in prep)
         taug = taug + tdot("gray_tab", cells["gcols"][:])
-        taug_ref[:] = taug
 
         # Rayleigh
         r24 = tdot("rayl24", cells["w24"][:])
-        taur_ref[:] = cells["colmol"][0:1, :] * (
+        taur = cells["colmol"][0:1, :] * (
             tabs["raylvec"][0][:] + upm * tabs["raylb24"][0][:] + r24)
+        if cell_major:
+            taug_ref[:] = taug.T
+            taur_ref[:] = taur.T
+        else:
+            taug_ref[:] = taug
+            taur_ref[:] = taur
 
     return kernel
 
 
-def _taumol_sw_pallas(cell_inputs, interpret):
+def _taumol_sw_pallas(cell_inputs, interpret, cell_major=False):
     kt = _kernel_tables()
     n = cell_inputs["rows"].shape[1]
     C = _CBLK
@@ -206,17 +214,26 @@ def _taumol_sw_pallas(cell_inputs, interpret):
             tables.append(jnp.asarray(lo))
             in_specs.append(pl.BlockSpec(
                 lo.shape, lambda b, _s=len(lo.shape): (0,) * _s))
+    if cell_major:
+        out_specs = [pl.BlockSpec((C, NGPTSW), lambda b: (b, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((n + npad, NGPTSW),
+                                          jnp.float32)] * 2
+    else:
+        out_specs = [pl.BlockSpec((NGPTSW, C), lambda b: (0, b))] * 2
+        out_shape = [jax.ShapeDtypeStruct((NGPTSW, n + npad),
+                                          jnp.float32)] * 2
     taug, taur = pl.pallas_call(
-        _make_kernel(split_flags),
+        _make_kernel(split_flags, cell_major),
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((NGPTSW, C), lambda b: (0, b))] * 2,
-        out_shape=[jax.ShapeDtypeStruct((NGPTSW, n + npad),
-                                        jnp.float32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins, *tables)
+    if cell_major:
+        return taug[:n], taur[:n]
     return taug[:, :n], taur[:, :n]
 
 
@@ -226,8 +243,12 @@ def _tent_t(js, fs, K):
             + jnp.where(d == 1, fs[None, :], 0.0))
 
 
-def taumol_sw_pallas(c, svw=None, interpret=None):
-    """Drop-in taumol_sw: (taug, taur [ncol, nlay, 112], sflux [ncol, 112])."""
+def taumol_sw_pallas(c, svw=None, interpret=None, layer_major=False):
+    """Drop-in taumol_sw: (taug, taur [ncol, nlay, 112], sflux [ncol, 112]).
+
+    layer_major=True returns taug/taur as [nlay, ncol, 112] — the
+    layout the kernel emits natively (free reshape of its cell-major
+    output), consumed zero-copy by spcvmc_fast."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ncol, nlay = c.jp.shape
@@ -307,10 +328,15 @@ def taumol_sw_pallas(c, svw=None, interpret=None):
     cell_inputs = dict(weta=weta, rows=rows, facs=facs, colv5=colv5,
                        lowm=lo_f[None, :], wsf=wsf, gcols=gcols,
                        w24=w24, colmol=cf.colmol[None, :])
-    taug_t, taur_t = _taumol_sw_pallas(cell_inputs, interpret)
-    unfl = lambda x: jnp.transpose(
-        x.reshape(NGPTSW, nlay, ncol), (2, 1, 0))
-    taug, taur = unfl(taug_t), unfl(taur_t)
+    taug_t, taur_t = _taumol_sw_pallas(cell_inputs, interpret,
+                                       cell_major=True)
+    # cell-major [N, g] outputs; cells are layer-major, so this is a
+    # free bitcast to [nlay, ncol, g]
+    taug = taug_t.reshape(nlay, ncol, NGPTSW)
+    taur = taur_t.reshape(nlay, ncol, NGPTSW)
+    if not layer_major:
+        taug = jnp.swapaxes(taug, 0, 1)
+        taur = jnp.swapaxes(taur, 0, 1)
 
     # solar source (cheap, [ncol, 112]; needs the layer axis for
     # laysolfr) — shared with the gather engine

@@ -315,7 +315,7 @@ def _clear_counts(cldy, cloud_mh, cloud_lm, counts_out):
 def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
             *rest,
             nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
-            band_g0, fit, injected):
+            band_g0, fit, injected, layer_major=False):
     if injected:
         uniforms, tau_out, cloudy_out, counts_out, \
             cdf1, keep1, cdf3, keep3 = rest
@@ -336,8 +336,17 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
         tau = jnp.where(cldy & (ciwp_s > 0.0), ciwp_s * absi_g, 0.0) \
             + jnp.where(cldy & (clwp_s > 0.0), clwp_s * absl_g, 0.0)
 
-        tau_out[:] = tau
-        cloudy_out[:] = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=2)
+        cldy2 = jnp.max(jnp.where(tau > 0.0, 1.0, 0.0), axis=2)
+        if layer_major:
+            # [nlay, ncol, nsub] production layout: the swap runs on
+            # Mosaic's transpose unit in VMEM, so rtrnmc_fast consumes
+            # the result with zero XLA relayout copies. (cloudy stays
+            # column-major — a [nlay, B] block breaks lane tiling and
+            # the [ncol, nlay] array is tiny; callers transpose it.)
+            tau_out[:] = jnp.swapaxes(tau, 0, 1)
+        else:
+            tau_out[:] = tau
+        cloudy_out[:] = cldy2
         _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
 
     def clear_blk():
@@ -354,11 +363,12 @@ def _kernel(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1, absi, absl,
 
 @partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",
                                    "cloud_lm", "band_ng", "col_block",
-                                   "interpret"))
+                                   "interpret", "layer_major"))
 def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                           absice, absliq, *, nsub, inhm, cwp_tiny,
                           cloud_mh, cloud_lm, band_ng, col_block=8,
-                          uniforms=None, interpret=False):
+                          uniforms=None, interpret=False,
+                          layer_major=False):
     """Fused McICA + cloud-optics (see module banner).
 
     Args:
@@ -371,7 +381,8 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
         (tests/test_mcica_pallas_interpret.py, VERDICT r4 next #2).
 
     Returns (taucmc [ncol, nlay, nsub], cloudy [ncol, nlay] bool,
-    counts [ncol, 4] int32).
+    counts [ncol, 4] int32); with layer_major=True the first two come
+    back [nlay, ncol, nsub] / [nlay, ncol] (the rtrnmc_fast layout).
     """
     ncol, nlay = cldf.shape
     nbnd = len(band_ng)
@@ -382,20 +393,23 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
         pad = B - ncol % B
         padf = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
                                  mode="edge")
-        out = mcica_optics_lw_fused(
+        tau, cloudy, counts = mcica_optics_lw_fused(
             padf(seeds), padf(alpha), padf(rcorr), padf(cldf),
             padf(ciwp), padf(clwp), padf(sigcls), padf(absice),
             padf(absliq), nsub=nsub, inhm=inhm, cwp_tiny=cwp_tiny,
             cloud_mh=cloud_mh, cloud_lm=cloud_lm, band_ng=band_ng,
-            col_block=col_block)
-        return jax.tree_util.tree_map(lambda x: x[:ncol], out)
+            col_block=col_block, layer_major=layer_major)
+        if layer_major:
+            return tau[:, :ncol], cloudy[:, :ncol], counts[:ncol]
+        return tau[:ncol], cloudy[:ncol], counts[:ncol]
     is0 = (sigcls == 0).astype(jnp.float32)
     is1 = (sigcls == 1).astype(jnp.float32)
 
     kern = partial(_kernel, nsub=nsub, nlay=nlay, ncolb=B, inhm=inhm,
                    cwp_tiny=cwp_tiny, cloud_mh=cloud_mh,
                    cloud_lm=cloud_lm, band_g0=band_g0, fit=fit,
-                   injected=uniforms is not None)
+                   injected=uniforms is not None,
+                   layer_major=layer_major)
     grid = (ncol // B,)
     row = lambda ncols=None: pl.BlockSpec(
         (B, nlay) if ncols is None else (B, nlay, ncols),
@@ -415,19 +429,26 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                                      lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(uniforms)
+    if layer_major:
+        g_spec = pl.BlockSpec((nlay, B, nsub), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        g_shape = jax.ShapeDtypeStruct((nlay, ncol, nsub), jnp.float32)
+    else:
+        g_spec = pl.BlockSpec((B, nlay, nsub), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        g_shape = jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32)
     tau, cloudy, counts = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((B, nlay, nsub), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            g_spec,
             row(),
             pl.BlockSpec((B, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
+            g_shape,
             jax.ShapeDtypeStruct((ncol, nlay), jnp.float32),
             jax.ShapeDtypeStruct((ncol, 4), jnp.float32),
         ],
@@ -437,6 +458,10 @@ def mcica_optics_lw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    if layer_major:
+        # cloudy is written column-major in-kernel (tiling constraint);
+        # this XLA transpose is 4 bytes/cell — negligible
+        return tau, cloudy.T > 0.0, counts.astype(jnp.int32)
     return tau, cloudy > 0.0, counts.astype(jnp.int32)
 
 
@@ -493,7 +518,7 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
                ext_i, scat_i, asy_i, ext_l, scat_l, asy_l,
                *rest,
                nsub, nlay, ncolb, inhm, cwp_tiny, cloud_mh, cloud_lm,
-               band_g0, fit, injected):
+               band_g0, fit, injected, layer_major=False):
     if injected:
         uniforms, tau_out, ssa_out, asm_out, counts_out, \
             cdf1, keep1, cdf3, keep3 = rest
@@ -533,11 +558,18 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
         asmcmc = jnp.where(cldy, asy_num / scat_tot, 0.0)
         taucmc = jnp.where(cldy, taucmc, 0.0)
 
-        # [B, nlay, nsub] generation layout == the output layout: no
-        # transposes anywhere
-        tau_out[:] = taucmc
-        ssa_out[:] = ssacmc
-        asm_out[:] = asmcmc
+        if layer_major:
+            # [nlay, ncol, nsub] production layout for spcvmc_fast
+            # (Mosaic transpose unit; see _kernel)
+            tau_out[:] = jnp.swapaxes(taucmc, 0, 1)
+            ssa_out[:] = jnp.swapaxes(ssacmc, 0, 1)
+            asm_out[:] = jnp.swapaxes(asmcmc, 0, 1)
+        else:
+            # [B, nlay, nsub] generation layout == the output layout:
+            # no transposes anywhere
+            tau_out[:] = taucmc
+            ssa_out[:] = ssacmc
+            asm_out[:] = asmcmc
         _clear_counts(cldy, cloud_mh, cloud_lm, counts_out)
 
     def clear_blk():
@@ -552,12 +584,13 @@ def _kernel_sw(seeds, alpha, rcorr, cldf, ciwp, clwp, is0, is1,
 
 @partial(jax.jit, static_argnames=("nsub", "inhm", "cwp_tiny", "cloud_mh",
                                    "cloud_lm", "band_ng", "col_block",
-                                   "interpret"))
+                                   "interpret", "layer_major"))
 def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                           ext_i, scat_i, asy_i, ext_l, scat_l, asy_l,
                           *, nsub, inhm, cwp_tiny, cloud_mh,
                           cloud_lm, band_ng, col_block=8,
-                          uniforms=None, interpret=False):
+                          uniforms=None, interpret=False,
+                          layer_major=False):
     """Fused McICA + SW cloud optics with delta scaling.
 
     Args mirror mcica_optics_lw_fused; the 6 delta-folded coefficient
@@ -565,7 +598,8 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
     [ncol, nlay, nbnd], from models.rrtmg.cldprmc_sw.delta_band_coeffs_sw.
 
     Returns (taucmc, ssacmc, asmcmc each [ncol, nlay, nsub],
-    counts [ncol, 4] int32). Cloudy-per-g is recoverable as taucmc > 0
+    counts [ncol, 4] int32); [nlay, ncol, nsub] with layer_major=True
+    (the spcvmc_fast layout). Cloudy-per-g is recoverable as taucmc > 0
     (cldprmc_sw floors cloudy cells at CLDMIN).
     """
     ncol, nlay = cldf.shape
@@ -577,21 +611,26 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
         pad = B - ncol % B
         padf = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
                                  mode="edge")
-        out = mcica_optics_sw_fused(
+        tau, ssa, asym, counts = mcica_optics_sw_fused(
             padf(seeds), padf(alpha), padf(rcorr), padf(cldf),
             padf(ciwp), padf(clwp), padf(sigcls), padf(ext_i),
             padf(scat_i), padf(asy_i), padf(ext_l),
             padf(scat_l), padf(asy_l), nsub=nsub, inhm=inhm,
             cwp_tiny=cwp_tiny, cloud_mh=cloud_mh, cloud_lm=cloud_lm,
-            band_ng=band_ng, col_block=col_block)
-        return jax.tree_util.tree_map(lambda x: x[:ncol], out)
+            band_ng=band_ng, col_block=col_block,
+            layer_major=layer_major)
+        if layer_major:
+            return (tau[:, :ncol], ssa[:, :ncol], asym[:, :ncol],
+                    counts[:ncol])
+        return tau[:ncol], ssa[:ncol], asym[:ncol], counts[:ncol]
     is0 = (sigcls == 0).astype(jnp.float32)
     is1 = (sigcls == 1).astype(jnp.float32)
 
     kern = partial(_kernel_sw, nsub=nsub, nlay=nlay, ncolb=B, inhm=inhm,
                    cwp_tiny=cwp_tiny, cloud_mh=cloud_mh,
                    cloud_lm=cloud_lm, band_g0=band_g0, fit=fit,
-                   injected=uniforms is not None)
+                   injected=uniforms is not None,
+                   layer_major=layer_major)
     grid = (ncol // B,)
     row = lambda ncols=None: pl.BlockSpec(
         (B, nlay) if ncols is None else (B, nlay, ncols),
@@ -614,6 +653,12 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                                      lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(uniforms)
+    if layer_major:
+        gout = pl.BlockSpec((nlay, B, nsub), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        g_shape = jax.ShapeDtypeStruct((nlay, ncol, nsub), jnp.float32)
+    else:
+        g_shape = jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32)
     tau, ssa, asym, counts = pl.pallas_call(
         kern,
         grid=grid,
@@ -622,9 +667,7 @@ def mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls,
                    pl.BlockSpec((B, 4), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
-            jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
-            jax.ShapeDtypeStruct((ncol, nlay, nsub), jnp.float32),
+            g_shape, g_shape, g_shape,
             jax.ShapeDtypeStruct((ncol, 4), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, nlay, nsub), jnp.float32)

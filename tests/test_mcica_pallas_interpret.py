@@ -193,3 +193,45 @@ def test_sw_interpret_matches_oracle_pipeline():
     np.testing.assert_allclose(np.asarray(asym)[cloudy_cells],
                                back(asm_gl)[cloudy_cells], rtol=3e-6,
                                atol=1e-6)
+
+
+def test_lw_interpret_layer_major_layout():
+    """layer_major=True returns the identical fields transposed to
+    [nlay, ncol, nsub] / [nlay, ncol] (the rtrnmc_fast zero-copy
+    layout); counts unchanged."""
+    alpha, rcorr, cldf, ciwp, clwp, rei, rel, seeds, u = _scene(NGPTLW)
+    sigcls = mcica._sigma_class(cldf)
+    absi, absl = band_abs_coeffs_lw(rei, rel)
+    kw = dict(nsub=NGPTLW, inhm=1, cwp_tiny=CWP_TINY, cloud_mh=8,
+              cloud_lm=14, band_ng=tuple(int(x) for x in NG_LW),
+              uniforms=u, interpret=True)
+    tau0, cld0, cnt0 = mcica_optics_lw_fused(
+        seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, absi, absl, **kw)
+    tau1, cld1, cnt1 = mcica_optics_lw_fused(
+        seeds, alpha, rcorr, cldf, ciwp, clwp, sigcls, absi, absl,
+        layer_major=True, **kw)
+    assert tau1.shape == (NLAY, NCOL, NGPTLW)
+    assert cld1.shape == (NLAY, NCOL)
+    np.testing.assert_array_equal(np.swapaxes(np.asarray(tau1), 0, 1),
+                                  np.asarray(tau0))
+    np.testing.assert_array_equal(np.asarray(cld1).T, np.asarray(cld0))
+    np.testing.assert_array_equal(np.asarray(cnt1), np.asarray(cnt0))
+
+
+def test_sw_interpret_layer_major_layout():
+    alpha, rcorr, cldf, ciwp, clwp, rei, rel, seeds, u = _scene(NGPTSW, 3)
+    sigcls = mcica._sigma_class(cldf)
+    coeffs = delta_band_coeffs_sw(rei, rel, iceflag=3, liqflag=1)
+    kw = dict(nsub=NGPTSW, inhm=1, cwp_tiny=CWP_TINY, cloud_mh=8,
+              cloud_lm=14, band_ng=tuple(int(x) for x in NG_SW),
+              uniforms=u, interpret=True)
+    out0 = mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp,
+                                 sigcls, *coeffs, **kw)
+    out1 = mcica_optics_sw_fused(seeds, alpha, rcorr, cldf, ciwp, clwp,
+                                 sigcls, *coeffs, layer_major=True, **kw)
+    for a1, a0 in zip(out1[:3], out0[:3]):
+        assert a1.shape == (NLAY, NCOL, NGPTSW)
+        np.testing.assert_array_equal(np.swapaxes(np.asarray(a1), 0, 1),
+                                      np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(out1[3]),
+                                  np.asarray(out0[3]))
